@@ -1,0 +1,9 @@
+from satnerf_tpu.parallel.mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_rays,
+)
+
+__all__ = ["DATA_AXIS", "batch_sharding", "make_mesh", "replicated", "shard_rays"]

@@ -1,0 +1,53 @@
+"""Device mesh + sharding helpers for ray-parallel training.
+
+The model is a ~1-5M-param MLP — it fits trivially in one chip's HBM, so
+there is no tensor/pipeline parallelism (documented decision, SURVEY.md §2):
+parameters are replicated and the embarrassingly-parallel ray axis is sharded
+across all chips over ICI. Gradients are combined with a single psum inside
+the shard_map'd train step; XLA lowers it to an ICI all-reduce.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: int = 0) -> Mesh:
+    """1D mesh over the first `n_devices` devices (0 = all)."""
+    devs = jax.devices()
+    if n_devices and n_devices > 0:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard axis 0 (rays) across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_rays(mesh: Mesh, *arrays, pad_value=0.0):
+    """Place host arrays on the mesh sharded along axis 0, padding the
+    leading dim up to a multiple of the mesh size. Returns (padded_len,
+    [sharded arrays...])."""
+    n = mesh.devices.size
+    out = []
+    padded = None
+    for a in arrays:
+        a = np.asarray(a)
+        rem = (-a.shape[0]) % n
+        if rem:
+            pad_width = [(0, rem)] + [(0, 0)] * (a.ndim - 1)
+            a = np.pad(a, pad_width, constant_values=pad_value)
+        padded = a.shape[0]
+        out.append(jax.device_put(a, batch_sharding(mesh)))
+    return padded, out

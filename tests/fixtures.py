@@ -1,0 +1,114 @@
+"""Synthetic dataset fixtures: a 'fake RPC' satellite scene that needs no
+DFC2019 data (SURVEY.md §4's fake-RPC strategy).
+
+The scene is a flat plane at alt0 with a box bump; cameras are slightly
+off-nadir parallel projections expressed as fitted RPCs; images are shaded
+height fields so that geometry and pixels are consistent enough for
+overfit-style training tests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from satnerf_tpu.geo.geotiff import Affine, Profile, write_geotiff
+from satnerf_tpu.geo.rpc import fit_rpc_from_projection
+
+AOI_LON, AOI_LAT = -81.66, 30.35  # Jacksonville-ish
+ALT_MIN, ALT_MAX = -20.0, 80.0
+
+
+def make_camera(view_dx: float, view_dy: float, w: int, h: int):
+    """Parallel projection with per-altitude shift (view_dx, view_dy) in
+    pixels per meter of altitude — a linear pushbroom-style camera."""
+    lon_scale = 0.002
+    lat_scale = 0.002
+
+    def project(lon, lat, alt):
+        col = (lon - (AOI_LON - lon_scale)) / (2 * lon_scale) * (w - 1) + view_dx * alt
+        row = ((AOI_LAT + lat_scale) - lat) / (2 * lat_scale) * (h - 1) + view_dy * alt
+        return col, row
+
+    return project, (AOI_LON - lon_scale, AOI_LON + lon_scale), (
+        AOI_LAT - lat_scale, AOI_LAT + lat_scale)
+
+
+def height_field(lon, lat):
+    """Scene geometry: plane at 10 m with a 40 m box in the middle."""
+    u = (lon - AOI_LON) / 0.002
+    v = (lat - AOI_LAT) / 0.002
+    box = (np.abs(u) < 0.3) & (np.abs(v) < 0.3)
+    return np.where(box, 50.0, 10.0)
+
+
+def albedo_field(lon, lat):
+    u = (lon - AOI_LON) / 0.002
+    v = (lat - AOI_LAT) / 0.002
+    checker = ((np.floor(u * 4) + np.floor(v * 4)) % 2).astype(np.float64)
+    return 0.3 + 0.5 * checker
+
+
+def build_synthetic_dataset(root: str, n_train: int = 3, n_test: int = 2,
+                            w: int = 32, h: int = 32, seed: int = 0):
+    """Write a reference-format dataset: per-image json + tif + splits."""
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    names = []
+    n_total = n_train + n_test
+    for i in range(n_total):
+        dx = rng.uniform(-0.05, 0.05)
+        dy = rng.uniform(-0.05, 0.05)
+        project, lon_r, lat_r = make_camera(dx, dy, w, h)
+        rpc = fit_rpc_from_projection(project, lon_r, lat_r,
+                                      (ALT_MIN, ALT_MAX), w, h)
+
+        # render a consistent image: for each pixel march altitudes downward
+        cols, rows = np.meshgrid(np.arange(w, dtype=np.float64),
+                                 np.arange(h, dtype=np.float64))
+        img = np.zeros((h, w))
+        hit_alt = np.full((h, w), ALT_MIN)
+        done = np.zeros((h, w), bool)
+        for alt in np.linspace(ALT_MAX, ALT_MIN, 120):
+            lon, lat = rpc.localization(cols.ravel(), rows.ravel(),
+                                        np.full(w * h, alt))
+            zs = height_field(lon, lat).reshape(h, w)
+            hit = (~done) & (alt <= zs)
+            hit_alt = np.where(hit, alt, hit_alt)
+            a = albedo_field(lon, lat).reshape(h, w)
+            img = np.where(hit, a, img)
+            done |= hit
+        rgb = np.stack([img, img, img], 0)
+        rgb8 = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+
+        name = f"SYN_000_{i:03d}_RGB"
+        write_geotiff(
+            os.path.join(root, name + ".tif"), rgb8,
+            Profile(w, h, 3, "uint8", 32617, Affine(0.5, 0, 0, 0, -0.5, 0)),
+        )
+        meta = {
+            "img": name + ".tif",
+            "height": h,
+            "width": w,
+            "sun_elevation": 60.0,
+            "sun_azimuth": 180.0,
+            "acquisition_date": f"2014100{i}120000",
+            "geojson": {"center": [AOI_LON, AOI_LAT],
+                        "coordinates": [[[lon_r[0], lat_r[0]], [lon_r[1], lat_r[0]],
+                                         [lon_r[1], lat_r[1]], [lon_r[0], lat_r[1]],
+                                         [lon_r[0], lat_r[0]]]]},
+            "min_alt": ALT_MIN,
+            "max_alt": ALT_MAX,
+            "rpc": rpc.to_dict(),
+        }
+        with open(os.path.join(root, name + ".json"), "w") as f:
+            json.dump(meta, f)
+        names.append(name + ".json")
+
+    with open(os.path.join(root, "train.txt"), "w") as f:
+        f.write("\n".join(names[:n_train]))
+    with open(os.path.join(root, "test.txt"), "w") as f:
+        f.write("\n".join(names[n_train:]))
+    return root

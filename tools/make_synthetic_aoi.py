@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Generate a fully synthetic satellite AOI for testing/benchmarking without
+DFC2019 data: fitted fake RPC cameras, rendered height-field images, and a
+lidar-style GT DSM + CLS mask on a UTM grid (the inputs the reference pipeline
+expects, README.md dataset layout).
+
+Usage: python tools/make_synthetic_aoi.py OUT_DIR [--n_train 3] [--n_test 2]
+       [--size 32]
+Writes OUT_DIR/data (json+tif+splits) and OUT_DIR/gt (SYN_000_DSM.tif/.txt,
+SYN_000_CLS.tif).
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_dir")
+    ap.add_argument("--n_train", type=int, default=3)
+    ap.add_argument("--n_test", type=int, default=2)
+    ap.add_argument("--size", type=int, default=32)
+    args = ap.parse_args()
+
+    from fixtures import AOI_LAT, AOI_LON, build_synthetic_dataset, height_field
+    from satnerf_tpu.geo.geotiff import Affine, Profile, write_geotiff
+    from satnerf_tpu.geo.utm import utm_from_latlon
+    from satnerf_tpu.ops.dsm_raster import raster_dsm
+
+    data_dir = os.path.join(args.out_dir, "data")
+    gt_dir = os.path.join(args.out_dir, "gt")
+    build_synthetic_dataset(data_dir, n_train=args.n_train, n_test=args.n_test,
+                            w=args.size, h=args.size)
+
+    os.makedirs(gt_dir, exist_ok=True)
+    lons = np.linspace(AOI_LON - 0.002, AOI_LON + 0.002, 400)
+    lats = np.linspace(AOI_LAT - 0.002, AOI_LAT + 0.002, 400)
+    LO, LA = np.meshgrid(lons, lats)
+    E, N = utm_from_latlon(LA.ravel(), LO.ravel())
+    Z = height_field(LO.ravel(), LA.ravel())
+    res = 2.0
+    xoff = np.floor(E.min() / res) * res
+    yoff = np.floor(N.min() / res) * res
+    size = int(min((E.max() - xoff) // res, (N.max() - yoff) // res))
+    dsm = raster_dsm(np.stack([E, N, Z], -1), xoff, yoff + size * res, res,
+                     size, size, radius=1)
+    prof = Profile(size, size, 1, "float32", 32617,
+                   Affine(res, 0, xoff, 0, -res, yoff + size * res), float("nan"))
+    write_geotiff(os.path.join(gt_dir, "SYN_000_DSM.tif"),
+                  dsm[:, :, 0][None].astype(np.float32), prof)
+    np.savetxt(os.path.join(gt_dir, "SYN_000_DSM.txt"),
+               np.array([xoff, yoff, size, res]))
+    cls = np.zeros((1, size, size), np.uint8)
+    write_geotiff(os.path.join(gt_dir, "SYN_000_CLS.tif"), cls,
+                  Profile(size, size, 1, "uint8", 32617,
+                          Affine(res, 0, xoff, 0, -res, yoff + size * res)))
+    print(f"synthetic AOI ready: {data_dir} + {gt_dir} (DSM {size}x{size})")
+
+
+if __name__ == "__main__":
+    main()
