@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Training-throughput benchmark on the flagship Sat-NeRF configuration.
+
+Measures steady-state rays/sec/chip of the full jitted train step (render +
+loss + grads + Adam) at the reference's canonical network shape (8x512 SIREN
+trunk, 64 samples/ray, transient embedding; opt.py:50-55) with a batch sized
+to saturate the chip. Prints ONE json line:
+
+  {"metric": "train_rays_per_sec_per_chip", "value": N, "unit": "rays/s",
+   "vs_baseline": N / 5e6}
+
+vs_baseline is relative to the BASELINE.json north-star target of 5M
+rays/sec/chip (the reference publishes no throughput numbers of its own —
+BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", 16384))
+STEPS = int(os.environ.get("BENCH_STEPS", 20))
+MODEL = os.environ.get("BENCH_MODEL", "sat-nerf")
+PRECISION = os.environ.get("BENCH_PRECISION", "float32")
+
+
+def main():
+    import jax
+
+    from satnerf_tpu.config import Config
+    from satnerf_tpu.parallel.mesh import make_mesh, shard_rays
+    from satnerf_tpu.train.system import NeRFSystem
+
+    cfg = Config(model=MODEL, fc_units=512, fc_layers=8, n_samples=64,
+                 batch_size=BATCH, sc_lambda=0.0, max_train_steps=300000,
+                 precision=PRECISION)
+    mesh = make_mesh()
+    n_chips = mesh.devices.size
+    system = NeRFSystem(cfg, dataset_len=max(BATCH * 64, 1 << 20), mesh=mesh)
+    state = system.init_state(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    n = 1 << 20
+    rays = rng.rand(n, 11).astype(np.float32)
+    rays[:, 3:6] /= np.linalg.norm(rays[:, 3:6], axis=1, keepdims=True)
+    rays[:, 6], rays[:, 7] = 0.0, 1.0
+    rgbs = rng.rand(n, 3).astype(np.float32)
+    ts = rng.randint(0, 30, n).astype(np.int32)
+    _, (r, g, t) = shard_rays(mesh, rays, rgbs, ts)
+    data = {"rays": r, "rgbs": g, "ts": t}
+
+    step = system.make_train_step()
+    key = jax.random.PRNGKey(1)
+
+    # warmup: compile + 3 steps (fetch forces completion — on the tunneled
+    # axon runtime, block_until_ready after a chain of donated steps can
+    # return before the chain has executed, so every timed step is fetched)
+    state, m = step(state, data, key)
+    float(m["loss"])
+    for _ in range(3):
+        state, m = step(state, data, key)
+    float(m["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, m = step(state, data, key)
+        jax.block_until_ready(m["loss"])
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = BATCH * STEPS / dt
+    per_chip = rays_per_sec / n_chips
+    print(json.dumps({
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(per_chip, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(per_chip / 5e6, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
