@@ -98,8 +98,15 @@ class Profile:
 # ------------------------------------------------------------------- decoding
 
 
-def _lzw_decode(data: bytes) -> bytes:
-    """TIFF-variant LZW (MSB-first codes, EarlyChange=1)."""
+def _lzw_decode(data: bytes, expected: int = 0) -> bytes:
+    """TIFF-variant LZW (MSB-first codes, EarlyChange=1). Uses the native C++
+    decoder (satnerf_tpu/native.py) when available — ~100x the Python path."""
+    from satnerf_tpu import native
+
+    if native.available():
+        out = native.lzw_decode(data, expected)
+        if out is not None:
+            return out
     CLEAR, EOI = 256, 257
     out = bytearray()
     dict_base = [bytes([i]) for i in range(256)] + [b"", b""]
@@ -262,7 +269,7 @@ def read_geotiff(path: str) -> GeoTIFF:
         if compression in (8, 32946):
             raw = zlib.decompress(raw)
         elif compression == 5:
-            raw = _lzw_decode(raw)
+            raw = _lzw_decode(raw, tw * th * chunk_spp * (bits // 8))
         elif compression == 32773:
             raw = _packbits_decode(raw, tw * th * chunk_spp * (bits // 8))
         elif compression != 1:

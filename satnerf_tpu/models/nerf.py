@@ -26,7 +26,7 @@ All shapes are static and MXU-friendly: the trunk is a chain of
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -62,10 +62,15 @@ def siren_first_kernel_init(key, shape, dtype=jnp.float32):
 
 
 class TorchDense(nn.Module):
-    """Dense layer with torch.nn.Linear's default init (or a SIREN kernel)."""
+    """Dense layer with torch.nn.Linear's default init (or a SIREN kernel).
+
+    `dtype` is the compute dtype (bfloat16 halves MXU cycles and HBM traffic
+    on TPU); params always stay float32 for optimizer stability.
+    """
 
     features: int
     kernel_init_kind: str = "torch"  # torch | siren | siren_first
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -79,6 +84,8 @@ class TorchDense(nn.Module):
             self.features,
             kernel_init=kinit,
             bias_init=torch_linear_bias_factory(x.shape[-1]),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
         )(x)
 
 
@@ -127,6 +134,7 @@ class RadianceField(nn.Module):
     use_shadow: bool = False
     use_beta: bool = False
     rgb_padding: float = 0.001
+    dtype: Any = jnp.float32  # compute dtype for Dense layers (params stay f32)
 
     def _act(self, x, first=False):
         if self.siren:
@@ -149,15 +157,17 @@ class RadianceField(nn.Module):
                 "siren_first" if (self.siren and i == 0)
                 else ("siren" if self.siren else "torch")
             )
-            h = TorchDense(self.feat, kernel_init_kind=kind, name=f"fc_{i}")(h)
+            h = TorchDense(self.feat, kernel_init_kind=kind, dtype=self.dtype, name=f"fc_{i}")(h)
             h = self._act(h, first=(i == 0))
         shared = h
 
-        sigma = nn.softplus(TorchDense(1, name="sigma_head")(shared))[..., 0]
+        sigma = nn.softplus(
+            TorchDense(1, dtype=self.dtype, name="sigma_head")(shared)
+        )[..., 0].astype(jnp.float32)
         if sigma_only:
             return {"sigma": sigma}
 
-        feats = TorchDense(self.feat, name="feats_head")(shared)
+        feats = TorchDense(self.feat, dtype=self.dtype, name="feats_head")(shared)
 
         if self.use_view_dirs and view_dir is not None:
             enc_dir = (
@@ -168,9 +178,9 @@ class RadianceField(nn.Module):
             rgb_in = jnp.concatenate([feats, enc_dir], axis=-1)
         else:
             rgb_in = feats
-        r = TorchDense(self.feat // 2, name="rgb_0")(rgb_in)
+        r = TorchDense(self.feat // 2, dtype=self.dtype, name="rgb_0")(rgb_in)
         r = self._act(r)
-        rgb = nn.sigmoid(TorchDense(3, name="rgb_1")(r))
+        rgb = nn.sigmoid(TorchDense(3, dtype=self.dtype, name="rgb_1")(r)).astype(jnp.float32)
         rgb = rgb * (1 + 2 * self.rgb_padding) - self.rgb_padding
 
         out = {"rgb": rgb, "sigma": sigma}
@@ -180,25 +190,31 @@ class RadianceField(nn.Module):
             sv = jnp.concatenate([feats, sun_dir], axis=-1)
             kind0 = "siren_first" if self.siren else "torch"
             kind = "siren" if self.siren else "torch"
-            sv = TorchDense(self.feat // 2, kernel_init_kind=kind0, name="sun_v_0")(sv)
+            sv = TorchDense(self.feat // 2, kernel_init_kind=kind0, dtype=self.dtype, name="sun_v_0")(sv)
             # reference uses Siren() with default w0=1 here, not w0=30
             sv = jnp.sin(sv) if self.siren else nn.relu(sv)
             for i in range(1, 3):
-                sv = TorchDense(self.feat // 2, kernel_init_kind=kind, name=f"sun_v_{i}")(sv)
+                sv = TorchDense(self.feat // 2, kernel_init_kind=kind, dtype=self.dtype, name=f"sun_v_{i}")(sv)
                 sv = self._act(sv)
-            sun_v = nn.sigmoid(TorchDense(1, name="sun_v_out")(sv))
+            sun_v = nn.sigmoid(
+                TorchDense(1, dtype=self.dtype, name="sun_v_out")(sv)
+            ).astype(jnp.float32)
 
-            sky = TorchDense(self.feat // 2, name="sky_0")(sun_dir)
+            sky = TorchDense(self.feat // 2, dtype=self.dtype, name="sky_0")(sun_dir)
             sky = nn.relu(sky)
-            sky_rgb = nn.sigmoid(TorchDense(3, name="sky_1")(sky))
+            sky_rgb = nn.sigmoid(
+                TorchDense(3, dtype=self.dtype, name="sky_1")(sky)
+            ).astype(jnp.float32)
             out["sun_v"] = sun_v
             out["sky_rgb"] = sky_rgb
 
         if self.use_beta:
             b = jnp.concatenate([feats, t_embed], axis=-1)
-            b = TorchDense(self.feat // 2, name="beta_0")(b)
+            b = TorchDense(self.feat // 2, dtype=self.dtype, name="beta_0")(b)
             b = self._act(b)
-            beta = nn.softplus(TorchDense(1, name="beta_1")(b))
+            beta = nn.softplus(
+                TorchDense(1, dtype=self.dtype, name="beta_1")(b)
+            ).astype(jnp.float32)
             out["beta"] = beta
 
         return out
@@ -225,7 +241,8 @@ class TransientEmbedding(nn.Module):
 
 
 def build_model(variant: str, fc_layers: int = 8, fc_units: int = 512,
-                mapping_sizes: Sequence[int] = (10, 4)) -> RadianceField:
+                mapping_sizes: Sequence[int] = (10, 4),
+                dtype: Any = jnp.float32) -> RadianceField:
     """Variant factory mirroring models/__init__.py:6-15 defaults:
 
       nerf     : positional mapping, ReLU, view dirs, no shadow/beta
@@ -236,18 +253,18 @@ def build_model(variant: str, fc_layers: int = 8, fc_units: int = 512,
         return RadianceField(
             layers=fc_layers, feat=fc_units, mapping=True,
             mapping_sizes=tuple(mapping_sizes), siren=False,
-            use_view_dirs=True, use_shadow=False, use_beta=False,
+            use_view_dirs=True, use_shadow=False, use_beta=False, dtype=dtype,
         )
     if variant == "s-nerf":
         return RadianceField(
             layers=fc_layers, feat=fc_units, mapping=False,
             mapping_sizes=tuple(mapping_sizes), siren=True,
-            use_view_dirs=False, use_shadow=True, use_beta=False,
+            use_view_dirs=False, use_shadow=True, use_beta=False, dtype=dtype,
         )
     if variant == "sat-nerf":
         return RadianceField(
             layers=fc_layers, feat=fc_units, mapping=False,
             mapping_sizes=tuple(mapping_sizes), siren=True,
-            use_view_dirs=False, use_shadow=True, use_beta=True,
+            use_view_dirs=False, use_shadow=True, use_beta=True, dtype=dtype,
         )
     raise ValueError(f"model {variant!r} is not valid")

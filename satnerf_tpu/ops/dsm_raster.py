@@ -21,6 +21,18 @@ def raster_dsm(cloud: np.ndarray, xoff: float, yoff: float, resolution: float,
       x in [xoff + i*res, xoff + (i+1)*res),  y in (yoff - (j+1)*res, yoff - j*res]
     matching plyflatten's (xoff upper-left, y decreasing) convention.
     """
+    from satnerf_tpu import native
+
+    if native.available():
+        res = native.splat_dsm(cloud, xoff, yoff, resolution, xsize, ysize,
+                               radius, sigma)
+        if res is not None:
+            acc, wacc = res
+            out = np.full(ysize * xsize, np.nan)
+            nz = wacc > 0
+            out[nz] = acc[nz] / wacc[nz]
+            return out.reshape(ysize, xsize, 1)
+
     x, y, z = cloud[:, 0], cloud[:, 1], cloud[:, 2]
     good = np.isfinite(x) & np.isfinite(y) & np.isfinite(z)
     x, y, z = x[good], y[good], z[good]

@@ -60,7 +60,17 @@ def ncc(u: np.ndarray, v: np.ndarray, dx: int = 0, dy: int = 0) -> float:
 
 
 def compute_ncc(u, v, irange: int, initdx: int, initdy: int):
-    """Best (dx, dy) within (initdx, initdy) +- irange (dsmr.py:102-117)."""
+    """Best (dx, dy) within (initdx, initdy) +- irange (dsmr.py:102-117).
+    Uses the native C++ search (satnerf_tpu/native.py) when available."""
+    from satnerf_tpu import native
+
+    if native.available():
+        out = native.ncc_search(u[0] if u.ndim == 3 else u,
+                                v[0] if v.ndim == 3 else v,
+                                irange, initdx, initdy)
+        if out is not None:
+            return out
+
     best = (initdx, initdy)
     maxv = -np.inf
     for y in range(initdy - irange, initdy + irange + 1):

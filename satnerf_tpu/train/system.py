@@ -79,9 +79,16 @@ class NeRFSystem:
         self.depth = cfg.ds_lambda > 0
         self.ds_drop_step = int(round(cfg.ds_drop * cfg.max_train_steps))
 
-        self.models = {"coarse": build_model(cfg.model, cfg.fc_layers, cfg.fc_units)}
+        compute_dtype = (
+            jnp.bfloat16 if cfg.precision == "bfloat16" else jnp.float32
+        )
+        self.models = {
+            "coarse": build_model(cfg.model, cfg.fc_layers, cfg.fc_units,
+                                  dtype=compute_dtype)
+        }
         if cfg.n_importance > 0:
-            self.models["fine"] = build_model(cfg.model, cfg.fc_layers, cfg.fc_units)
+            self.models["fine"] = build_model(cfg.model, cfg.fc_layers,
+                                              cfg.fc_units, dtype=compute_dtype)
         if self.use_ts:
             self.embedding = TransientEmbedding(cfg.t_embbeding_vocab,
                                                 cfg.t_embbeding_tau)
