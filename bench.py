@@ -24,7 +24,8 @@ import numpy as np
 BATCH = int(os.environ.get("BENCH_BATCH", 16384))
 STEPS = int(os.environ.get("BENCH_STEPS", 20))
 MODEL = os.environ.get("BENCH_MODEL", "sat-nerf")
-PRECISION = os.environ.get("BENCH_PRECISION", "float32")
+PRECISION = os.environ.get("BENCH_PRECISION", "bfloat16")
+FUSED = os.environ.get("BENCH_FUSED", "auto")
 
 
 def main():
@@ -36,7 +37,7 @@ def main():
 
     cfg = Config(model=MODEL, fc_units=512, fc_layers=8, n_samples=64,
                  batch_size=BATCH, sc_lambda=0.0, max_train_steps=300000,
-                 precision=PRECISION)
+                 precision=PRECISION, fused=FUSED)
     mesh = make_mesh()
     n_chips = mesh.devices.size
     system = NeRFSystem(cfg, dataset_len=max(BATCH * 64, 1 << 20), mesh=mesh)

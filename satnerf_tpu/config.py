@@ -64,6 +64,7 @@ class Config:
     seed: int = 0
     n_devices: int = 0  # 0 = all visible devices; rays are sharded across them
     precision: str = "float32"  # float32 | bfloat16 (matmul inputs)
+    fused: str = "auto"  # auto | on | off — fused Pallas field kernel
     log_every_n_steps: int = 100
     val_every_n_epochs: int = 1
     num_sanity_val_steps: int = 2
@@ -133,6 +134,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_devices", type=int, default=d.n_devices)
     p.add_argument("--precision", type=str, default=d.precision,
                    choices=["float32", "bfloat16"])
+    p.add_argument("--fused", type=str, default=d.fused,
+                   choices=["auto", "on", "off"])
     p.add_argument("--log_every_n_steps", type=int, default=d.log_every_n_steps)
     p.add_argument("--val_every_n_epochs", type=int, default=d.val_every_n_epochs)
     p.add_argument("--num_sanity_val_steps", type=int, default=d.num_sanity_val_steps)

@@ -1,0 +1,603 @@
+"""Fused radiance-field Pallas kernel for the SIREN (no-posenc) variants.
+
+Why: profiling the XLA train step shows it is HBM-bandwidth bound — every
+Dense layer round-trips its (N, 512) activations through HBM, and the
+backward pass triples that traffic (52 GB of HLO temps at batch 64k). This
+kernel keeps ALL weights (~5 MB bf16) and a tile of activations resident in
+VMEM (~128 MB on v5e) and streams point tiles through the whole network:
+HBM traffic drops to inputs (16 f32/point) + outputs (16 f32/point) +
+one weight-gradient flush.
+
+Architecture fused (exactly the s-nerf / sat-nerf RadianceField,
+models/nerf.py): L-layer SIREN trunk with skip-concat of xyz at layer
+`skip`, sigma/feats heads, rgb head, sun-visibility head, sky head, and
+(sat-nerf) the beta head.
+
+Layout: per-point inputs are packed as (N, 16) f32:
+    cols 0:3 xyz | 3:6 sun_dir | 6:6+tau t_embed | rest zero
+outputs as (N, 16) f32:
+    cols 0:3 rgb | 3 sigma | 4 sun_v | 5:8 sky | 8 beta | rest zero
+
+The custom VJP recomputes the forward inside the backward kernel (nothing is
+saved between passes but inputs and weights) and accumulates all weight
+gradients in f32 VMEM across the sequential TPU grid, flushing once.
+t_embed input gradients (the only trainable input) come back via the packed
+(N, 16) input-cotangent.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 1024       # forward tile (points per grid step)
+BWD_TILE = 1024   # backward tile: the recompute keeps ~2 f32 tensors per
+                  # trunk layer resident (~120 MB total at this tile — fits
+                  # the 127 MB VMEM budget and measures fastest)
+IN_COLS = 16
+OUT_COLS = 16
+
+
+def _f32(x):
+    return x.astype(jnp.float32)
+
+
+# Fast trig: XLA's sin/cos lower to ~20G ops/s on the v5e VPU, and the SIREN
+# trunk needs ~5k transcendentals per point — they dominate the fused kernel
+# (~70% of forward time). These minimax polynomials (max abs err 1.7e-5 for
+# sin, 2.4e-6 for cos — far below bf16 resolution) with one round-based range
+# reduction run ~4x faster.
+_TWO_PI = 6.283185307179586
+_INV_TWO_PI = 0.15915494309189535
+_SIN_C = (9.99984593e-01, -1.66632594e-01, 8.31238828e-03,
+          -1.93162699e-04, 2.17325696e-06)
+_COS_C = (9.99999444e-01, -4.99995582e-01, 4.16610335e-02,
+          -1.38627500e-03, 2.42532299e-05, -2.21941298e-07)
+
+
+def fast_sin(x):
+    y = x - _TWO_PI * jnp.round(x * _INV_TWO_PI)
+    y2 = y * y
+    p = _SIN_C[4]
+    for c in (_SIN_C[3], _SIN_C[2], _SIN_C[1], _SIN_C[0]):
+        p = p * y2 + c
+    return y * p
+
+
+def fast_cos(x):
+    y = x - _TWO_PI * jnp.round(x * _INV_TWO_PI)
+    y2 = y * y
+    p = _COS_C[5]
+    for c in (_COS_C[4], _COS_C[3], _COS_C[2], _COS_C[1], _COS_C[0]):
+        p = p * y2 + c
+    return p
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _dot_t_lhs(a, b):
+    """a^T @ b contracting the tile axis: (T, M)^T x (T, N) -> (M, N)."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _dot_t_rhs(a, b):
+    """a @ b^T: (T, N) x (M, N)^T -> (T, M)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+# ------------------------------------------------------------- param packing
+
+
+def pack_params(params: dict, layers: int, feat: int, skip: int,
+                use_beta: bool, tau: int, dtype=jnp.bfloat16) -> dict:
+    """Flax RadianceField params -> kernel weight arrays.
+
+    Matmul weights are padded so every contraction input comes from either the
+    (16,) packed input row or an (F,)/(Fh,) activation row; tiny head outputs
+    are padded to 128 lanes.
+    """
+    fh = feat // 2
+
+    def k(name):
+        return params[name]["Dense_0"]["kernel"]
+
+    def b(name):
+        return params[name]["Dense_0"]["bias"]
+
+    def pad_in16(w, row0):
+        """(r, C) -> (16, C) with the rows placed at row0."""
+        out = jnp.zeros((IN_COLS, w.shape[1]), jnp.float32)
+        return out.at[row0 : row0 + w.shape[0]].set(w)
+
+    def pad_lanes(w, cols=128):
+        out = jnp.zeros((w.shape[0], cols), jnp.float32)
+        return out.at[:, : w.shape[1]].set(w)
+
+    def pad_bias(v, cols=128):
+        out = jnp.zeros((cols,), jnp.float32)
+        return out.at[: v.shape[0]].set(v)
+
+    A = pad_in16(k("fc_0"), 0)  # xyz rows
+    B_list, bt = [], [b("fc_0")]
+    C = jnp.zeros((IN_COLS, feat), jnp.float32)
+    for l in range(1, layers):
+        w = k(f"fc_{l}")
+        if l == skip:
+            # input was concat([xyz, h]): first 3 rows act on xyz
+            C = pad_in16(w[:3], 0)
+            B_list.append(w[3:])
+        else:
+            B_list.append(w)
+        bt.append(b(f"fc_{l}"))
+    packed = {
+        "A": A.astype(dtype),
+        "B": jnp.stack(B_list).astype(dtype),  # (L-1, F, F)
+        "C": C.astype(dtype),
+        "bt": jnp.stack(bt),  # (L, F) f32
+        "Wsig": pad_lanes(k("sigma_head")).astype(dtype),
+        "bsig": pad_bias(b("sigma_head")),
+        "Wfeat": k("feats_head").astype(dtype),
+        "bfeat": b("feats_head"),
+        "Wrgb0": k("rgb_0").astype(dtype),
+        "brgb0": b("rgb_0"),
+        "Wrgb1": pad_lanes(k("rgb_1")).astype(dtype),
+        "brgb1": pad_bias(b("rgb_1")),
+        "Wsun0h": k("sun_v_0")[:feat].astype(dtype),
+        "Wsun0d": pad_in16(k("sun_v_0")[feat:], 3).astype(dtype),  # sun rows
+        "bsun0": b("sun_v_0"),
+        "Wsun1": k("sun_v_1").astype(dtype),
+        "bsun1": b("sun_v_1"),
+        "Wsun2": k("sun_v_2").astype(dtype),
+        "bsun2": b("sun_v_2"),
+        "Wsun3": pad_lanes(k("sun_v_out")).astype(dtype),
+        "bsun3": pad_bias(b("sun_v_out")),
+        "Wsky0": pad_in16(k("sky_0"), 3).astype(dtype),
+        "bsky0": b("sky_0"),
+        "Wsky1": pad_lanes(k("sky_1")).astype(dtype),
+        "bsky1": pad_bias(b("sky_1")),
+    }
+    if use_beta:
+        packed["Wbeta0h"] = k("beta_0")[:feat].astype(dtype)
+        packed["Wbeta0t"] = pad_in16(k("beta_0")[feat:], 6).astype(dtype)
+        packed["bbeta0"] = b("beta_0")
+        packed["Wbeta1"] = pad_lanes(k("beta_1")).astype(dtype)
+        packed["bbeta1"] = pad_bias(b("beta_1"))
+    return packed
+
+
+def unpack_grads(g: dict, params: dict, layers: int, feat: int, skip: int,
+                 use_beta: bool) -> dict:
+    """Packed weight-grad arrays -> flax param-pytree cotangent."""
+
+    def dense(kernel, bias):
+        return {"Dense_0": {"kernel": kernel, "bias": bias}}
+
+    out = {}
+    out["fc_0"] = dense(g["A"][:3], g["bt"][0])
+    for l in range(1, layers):
+        w = g["B"][l - 1]
+        if l == skip:
+            w = jnp.concatenate([g["C"][:3], w], axis=0)
+        out[f"fc_{l}"] = dense(w, g["bt"][l])
+    out["sigma_head"] = dense(g["Wsig"][:, :1], g["bsig"][:1])
+    out["feats_head"] = dense(g["Wfeat"], g["bfeat"])
+    out["rgb_0"] = dense(g["Wrgb0"], g["brgb0"])
+    out["rgb_1"] = dense(g["Wrgb1"][:, :3], g["brgb1"][:3])
+    out["sun_v_0"] = dense(
+        jnp.concatenate([g["Wsun0h"], g["Wsun0d"][3:6]], axis=0), g["bsun0"]
+    )
+    out["sun_v_1"] = dense(g["Wsun1"], g["bsun1"])
+    out["sun_v_2"] = dense(g["Wsun2"], g["bsun2"])
+    out["sun_v_out"] = dense(g["Wsun3"][:, :1], g["bsun3"][:1])
+    out["sky_0"] = dense(g["Wsky0"][3:6], g["bsky0"])
+    out["sky_1"] = dense(g["Wsky1"][:, :3], g["bsky1"][:3])
+    if use_beta:
+        tau = params["beta_0"]["Dense_0"]["kernel"].shape[0] - feat
+        out["beta_0"] = dense(
+            jnp.concatenate([g["Wbeta0h"], g["Wbeta0t"][6 : 6 + tau]], axis=0),
+            g["bbeta0"],
+        )
+        out["beta_1"] = dense(g["Wbeta1"][:, :1], g["bbeta1"][:1])
+    return out
+
+
+_PACKED_ORDER = [
+    "A", "B", "C", "bt", "Wsig", "bsig", "Wfeat", "bfeat", "Wrgb0", "brgb0",
+    "Wrgb1", "brgb1", "Wsun0h", "Wsun0d", "bsun0", "Wsun1", "bsun1", "Wsun2",
+    "bsun2", "Wsun3", "bsun3", "Wsky0", "bsky0", "Wsky1", "bsky1",
+    "Wbeta0h", "Wbeta0t", "bbeta0", "Wbeta1", "bbeta1",
+]
+
+
+def _order(packed: dict):
+    return [packed[k] for k in _PACKED_ORDER if k in packed]
+
+
+# ----------------------------------------------------------- forward kernel
+
+
+def _trunk_fwd(xin, refs, layers, skip, dtype, save=None):
+    """Run the trunk; optionally record (cos_factor, post) per layer."""
+    (A, B, C, bt) = refs
+    xb = xin.astype(dtype)
+    pre = _dot(xb, A) + bt[0][None, :]
+    if save is not None:
+        save[0] = (30.0 * fast_cos(30.0 * pre), None)
+    h = fast_sin(30.0 * pre)
+    for l in range(1, layers):
+        pre = _dot(h.astype(dtype), B[l - 1]) + bt[l][None, :]
+        if l == skip:
+            pre = pre + _dot(xb, C)
+        if save is not None:
+            save[l] = (fast_cos(pre), h)
+        h = fast_sin(pre)
+    return h
+
+
+def _heads_fwd(xin, h, w, use_beta, rgb_padding, dtype, save=None):
+    """All heads; optionally record intermediates for backward."""
+    xb = xin.astype(dtype)
+    hb = h.astype(dtype)
+    sigma_pre = _dot(hb, w["Wsig"]) + w["bsig"][None, :]
+    sigma = jax.nn.softplus(sigma_pre[:, 0:1])
+
+    feats = _dot(hb, w["Wfeat"]) + w["bfeat"][None, :]
+    fb = feats.astype(dtype)
+
+    r_pre = _dot(fb, w["Wrgb0"]) + w["brgb0"][None, :]
+    r = fast_sin(r_pre)
+    rgb_s = jax.nn.sigmoid(_dot(r.astype(dtype), w["Wrgb1"]) + w["brgb1"][None, :])
+    rgb = rgb_s[:, 0:3] * (1 + 2 * rgb_padding) - rgb_padding
+
+    s0_pre = _dot(fb, w["Wsun0h"]) + _dot(xb, w["Wsun0d"]) + w["bsun0"][None, :]
+    s0 = fast_sin(s0_pre)
+    s1_pre = _dot(s0.astype(dtype), w["Wsun1"]) + w["bsun1"][None, :]
+    s1 = fast_sin(s1_pre)
+    s2_pre = _dot(s1.astype(dtype), w["Wsun2"]) + w["bsun2"][None, :]
+    s2 = fast_sin(s2_pre)
+    sunv = jax.nn.sigmoid(_dot(s2.astype(dtype), w["Wsun3"]) + w["bsun3"][None, :])
+
+    skyh = jax.nn.relu(_dot(xb, w["Wsky0"]) + w["bsky0"][None, :])
+    sky = jax.nn.sigmoid(
+        _dot(skyh.astype(dtype), w["Wsky1"]) + w["bsky1"][None, :]
+    )
+
+    beta = bh = None
+    if use_beta:
+        bh_pre = (_dot(fb, w["Wbeta0h"]) + _dot(xb, w["Wbeta0t"])
+                  + w["bbeta0"][None, :])
+        bh = fast_sin(bh_pre)
+        beta = jax.nn.softplus(
+            _dot(bh.astype(dtype), w["Wbeta1"]) + w["bbeta1"][None, :]
+        )
+
+    if save is not None:
+        save.update(
+            sigma_pre=sigma_pre, feats=feats, r_pre=r_pre, r=r, rgb_s=rgb_s,
+            s0_pre=s0_pre, s0=s0, s1_pre=s1_pre, s1=s1, s2_pre=s2_pre, s2=s2,
+            sunv=sunv, skyh=skyh, sky=sky, bh_pre=bh_pre if use_beta else None,
+            bh=bh, beta=beta,
+        )
+    return rgb, sigma, sunv[:, 0:1], sky[:, 0:3], (beta[:, 0:1] if use_beta else None)
+
+
+def _make_fwd_kernel(layers, skip, use_beta, rgb_padding, dtype):
+    def kernel(in_ref, *w_refs):
+        out_ref = w_refs[-1]
+        names = [k for k in _PACKED_ORDER
+                 if use_beta or not k.startswith(("Wbeta", "bbeta"))]
+        w = {k: r[...] for k, r in zip(names, w_refs[:-1])}
+        xin = in_ref[...]
+        h = _trunk_fwd(xin, (w["A"], w["B"], w["C"], w["bt"]), layers, skip,
+                       dtype)
+        rgb, sigma, sunv, sky, beta = _heads_fwd(
+            xin, h, w, use_beta, rgb_padding, dtype
+        )
+        t_rows = xin.shape[0]
+        beta_col = beta if use_beta else jnp.zeros((t_rows, 1), jnp.float32)
+        out_ref[...] = jnp.concatenate(
+            [rgb, sigma, sunv, sky, beta_col,
+             jnp.zeros((t_rows, OUT_COLS - 9), jnp.float32)], axis=-1
+        )
+
+    return kernel
+
+
+# ---------------------------------------------------------- backward kernel
+
+
+def _make_bwd_kernel(layers, skip, use_beta, rgb_padding, dtype):
+    n_w = len([k for k in _PACKED_ORDER
+               if use_beta or not k.startswith(("Wbeta", "bbeta"))])
+
+    def kernel(in_ref, g_ref, *refs):
+        # refs = weight refs (n_w) + outputs: din_ref + grad refs (n_w)
+        names = [k for k in _PACKED_ORDER
+                 if use_beta or not k.startswith(("Wbeta", "bbeta"))]
+        w = {k: r[...] for k, r in zip(names, refs[:n_w])}
+        din_ref = refs[n_w]
+        grad_refs = {k: r for k, r in zip(names, refs[n_w + 1:])}
+
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            for k in names:
+                grad_refs[k][...] = jnp.zeros(
+                    grad_refs[k].shape, grad_refs[k].dtype
+                )
+
+        xin = in_ref[...]
+        xb = xin.astype(dtype)
+        g = g_ref[...]
+
+        # ---- forward recompute with residuals
+        trunk_save = [None] * layers
+        h = _trunk_fwd(xin, (w["A"], w["B"], w["C"], w["bt"]), layers, skip,
+                       dtype, save=trunk_save)
+        hs = {}
+        _heads_fwd(xin, h, w, use_beta, rgb_padding, dtype, save=hs)
+
+        fb = hs["feats"].astype(dtype)
+        hb = h.astype(dtype)
+
+        def acc(name, val):
+            grad_refs[name][...] += val
+
+        t_rows = xin.shape[0]
+
+        def pad128(v):
+            return jnp.concatenate(
+                [v, jnp.zeros((t_rows, 128 - v.shape[1]), jnp.float32)],
+                axis=-1,
+            )
+
+        d_in = jnp.zeros((xin.shape[0], IN_COLS), jnp.float32)
+
+        # ---- rgb branch
+        g_rgb = g[:, 0:3] * (1 + 2 * rgb_padding)
+        rgb_s3 = hs["rgb_s"][:, 0:3]
+        d_rgb1_pre = pad128(g_rgb * rgb_s3 * (1.0 - rgb_s3))
+        acc("Wrgb1", _dot_t_lhs(hs["r"].astype(dtype), d_rgb1_pre.astype(dtype)))
+        acc("brgb1", jnp.sum(d_rgb1_pre, axis=0))
+        d_r = _dot_t_rhs(d_rgb1_pre.astype(dtype), w["Wrgb1"])
+        d_r_pre = d_r * fast_cos(hs["r_pre"])
+        acc("Wrgb0", _dot_t_lhs(fb, d_r_pre.astype(dtype)))
+        acc("brgb0", jnp.sum(d_r_pre, axis=0))
+        d_feats = _dot_t_rhs(d_r_pre.astype(dtype), w["Wrgb0"])
+
+        # ---- sun branch
+        sunv = hs["sunv"]
+        d_sun3_pre = pad128(g[:, 4:5] * sunv[:, 0:1] * (1.0 - sunv[:, 0:1]))
+        acc("Wsun3", _dot_t_lhs(hs["s2"].astype(dtype), d_sun3_pre.astype(dtype)))
+        acc("bsun3", jnp.sum(d_sun3_pre, axis=0))
+        d_s2 = _dot_t_rhs(d_sun3_pre.astype(dtype), w["Wsun3"])
+        d_s2_pre = d_s2 * fast_cos(hs["s2_pre"])
+        acc("Wsun2", _dot_t_lhs(hs["s1"].astype(dtype), d_s2_pre.astype(dtype)))
+        acc("bsun2", jnp.sum(d_s2_pre, axis=0))
+        d_s1 = _dot_t_rhs(d_s2_pre.astype(dtype), w["Wsun2"])
+        d_s1_pre = d_s1 * fast_cos(hs["s1_pre"])
+        acc("Wsun1", _dot_t_lhs(hs["s0"].astype(dtype), d_s1_pre.astype(dtype)))
+        acc("bsun1", jnp.sum(d_s1_pre, axis=0))
+        d_s0 = _dot_t_rhs(d_s1_pre.astype(dtype), w["Wsun1"])
+        d_s0_pre = d_s0 * fast_cos(hs["s0_pre"])
+        acc("Wsun0h", _dot_t_lhs(fb, d_s0_pre.astype(dtype)))
+        acc("Wsun0d", _dot_t_lhs(xb, d_s0_pre.astype(dtype)))
+        acc("bsun0", jnp.sum(d_s0_pre, axis=0))
+        d_feats += _dot_t_rhs(d_s0_pre.astype(dtype), w["Wsun0h"])
+        d_in += _dot_t_rhs(d_s0_pre.astype(dtype), w["Wsun0d"])
+
+        # ---- sky branch
+        sky = hs["sky"]
+        d_sky1_pre = pad128(g[:, 5:8] * sky[:, 0:3] * (1.0 - sky[:, 0:3]))
+        acc("Wsky1", _dot_t_lhs(hs["skyh"].astype(dtype), d_sky1_pre.astype(dtype)))
+        acc("bsky1", jnp.sum(d_sky1_pre, axis=0))
+        d_skyh = _dot_t_rhs(d_sky1_pre.astype(dtype), w["Wsky1"])
+        d_skyh_pre = d_skyh * (hs["skyh"] > 0)
+        acc("Wsky0", _dot_t_lhs(xb, d_skyh_pre.astype(dtype)))
+        acc("bsky0", jnp.sum(d_skyh_pre, axis=0))
+        d_in += _dot_t_rhs(d_skyh_pre.astype(dtype), w["Wsky0"])
+
+        # ---- beta branch
+        if use_beta:
+            beta = hs["beta"]
+            # softplus' (pre) = sigmoid(pre) = 1 - exp(-softplus(pre))
+            d_beta1_pre = pad128(g[:, 8:9] * (1.0 - jnp.exp(-beta[:, 0:1])))
+            acc("Wbeta1", _dot_t_lhs(hs["bh"].astype(dtype),
+                                     d_beta1_pre.astype(dtype)))
+            acc("bbeta1", jnp.sum(d_beta1_pre, axis=0))
+            d_bh = _dot_t_rhs(d_beta1_pre.astype(dtype), w["Wbeta1"])
+            d_bh_pre = d_bh * fast_cos(hs["bh_pre"])
+            acc("Wbeta0h", _dot_t_lhs(fb, d_bh_pre.astype(dtype)))
+            acc("Wbeta0t", _dot_t_lhs(xb, d_bh_pre.astype(dtype)))
+            acc("bbeta0", jnp.sum(d_bh_pre, axis=0))
+            d_feats += _dot_t_rhs(d_bh_pre.astype(dtype), w["Wbeta0h"])
+            d_in += _dot_t_rhs(d_bh_pre.astype(dtype), w["Wbeta0t"])
+
+        # ---- feats + sigma into trunk output
+        acc("Wfeat", _dot_t_lhs(hb, d_feats.astype(dtype)))
+        acc("bfeat", jnp.sum(d_feats, axis=0))
+        d_h = _dot_t_rhs(d_feats.astype(dtype), w["Wfeat"])
+
+        sigma = jax.nn.softplus(hs["sigma_pre"][:, 0:1])
+        d_sig_pre = pad128(g[:, 3:4] * (1.0 - jnp.exp(-sigma)))
+        acc("Wsig", _dot_t_lhs(hb, d_sig_pre.astype(dtype)))
+        acc("bsig", jnp.sum(d_sig_pre, axis=0))
+        d_h += _dot_t_rhs(d_sig_pre.astype(dtype), w["Wsig"])
+
+        # ---- trunk backward: accumulate straight into the per-layer
+        # slices of the resident grad refs
+        for l in range(layers - 1, 0, -1):
+            cosv, h_prev = trunk_save[l]
+            d_pre = d_h * cosv
+            grad_refs["B"][l - 1] += _dot_t_lhs(
+                h_prev.astype(dtype), d_pre.astype(dtype)
+            )
+            grad_refs["bt"][l] += jnp.sum(d_pre, axis=0)
+            if l == skip:
+                acc("C", _dot_t_lhs(xb, d_pre.astype(dtype)))
+                d_in += _dot_t_rhs(d_pre.astype(dtype), w["C"])
+            d_h = _dot_t_rhs(d_pre.astype(dtype), w["B"][l - 1])
+        cos0, _ = trunk_save[0]
+        d_pre0 = d_h * cos0
+        acc("A", _dot_t_lhs(xb, d_pre0.astype(dtype)))
+        grad_refs["bt"][0] += jnp.sum(d_pre0, axis=0)
+        d_in += _dot_t_rhs(d_pre0.astype(dtype), w["A"])
+
+        din_ref[...] = d_in
+
+    return kernel
+
+
+# --------------------------------------------------------------- public API
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7)
+)
+def fused_field_packed(packed_list, x_in, layers, skip, use_beta,
+                       rgb_padding, dtype, feat):
+    """(packed weights list, (N, 16) inputs) -> (N, 16) outputs."""
+    return _fused_forward(packed_list, x_in, layers, skip, use_beta,
+                          rgb_padding, dtype, feat)
+
+
+def _fused_forward(packed_list, x_in, layers, skip, use_beta, rgb_padding,
+                   dtype, feat):
+    n = x_in.shape[0]
+    n_pad = ((n + TILE - 1) // TILE) * TILE
+    if n_pad != n:
+        x_in = jnp.pad(x_in, ((0, n_pad - n), (0, 0)))
+    grid = n_pad // TILE
+
+    kernel = _make_fwd_kernel(layers, skip, use_beta, rgb_padding, dtype)
+    w_specs = [
+        pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for p in packed_list
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((TILE, IN_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec((TILE, OUT_COLS), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, OUT_COLS), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(x_in, *packed_list)
+    return out[:n]
+
+
+def _fwd(packed_list, x_in, layers, skip, use_beta, rgb_padding, dtype, feat):
+    out = _fused_forward(packed_list, x_in, layers, skip, use_beta,
+                         rgb_padding, dtype, feat)
+    return out, (packed_list, x_in)
+
+
+def _bwd(layers, skip, use_beta, rgb_padding, dtype, feat, residuals, g):
+    packed_list, x_in = residuals
+    n = x_in.shape[0]
+    n_pad = ((n + BWD_TILE - 1) // BWD_TILE) * BWD_TILE
+    if n_pad != n:
+        x_in = jnp.pad(x_in, ((0, n_pad - n), (0, 0)))
+        g = jnp.pad(g, ((0, n_pad - n), (0, 0)))
+    grid = n_pad // BWD_TILE
+
+    kernel = _make_bwd_kernel(layers, skip, use_beta, rgb_padding, dtype)
+    w_specs = [
+        pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for p in packed_list
+    ]
+    # grad outputs: every program revisits block 0 -> stays resident in VMEM
+    grad_specs = [
+        pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for p in packed_list
+    ]
+    grad_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32)
+                   for p in packed_list]
+
+    din, *grads = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((BWD_TILE, IN_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BWD_TILE, OUT_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=(
+            pl.BlockSpec((BWD_TILE, IN_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *grad_specs,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, IN_COLS), jnp.float32),
+            *grad_shapes,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024
+        ),
+    )(x_in, g, *packed_list)
+    # weight grads come back in the packed dtype slots as f32; cast to the
+    # packed dtype tangent space expected by jax (match primal dtypes)
+    grads = [gr.astype(p.dtype) for gr, p in zip(grads, packed_list)]
+    return (grads, din[:n])
+
+
+fused_field_packed.defvjp(_fwd, _bwd)
+
+
+def fused_field_apply(params: dict, xyz, sun_dir=None, t_embed=None, *,
+                      layers: int = 8, feat: int = 512, skip: int = 4,
+                      use_beta: bool = True, rgb_padding: float = 0.001,
+                      tau: int = 4, dtype=jnp.bfloat16) -> dict:
+    """Drop-in replacement for RadianceField.apply on the SIREN variants.
+
+    Accepts the same flax param pytree and per-point inputs with any leading
+    shape; returns the same output dict (rgb, sigma, sun_v, sky_rgb[, beta]).
+    """
+    lead = xyz.shape[:-1]
+    n = int(np.prod(lead)) if lead else 1
+    x_in = jnp.zeros((n, IN_COLS), jnp.float32)
+    x_in = x_in.at[:, 0:3].set(xyz.reshape(n, 3))
+    if sun_dir is not None:
+        x_in = x_in.at[:, 3:6].set(sun_dir.reshape(n, 3))
+    if t_embed is not None and use_beta:
+        x_in = x_in.at[:, 6 : 6 + tau].set(t_embed.reshape(n, tau))
+
+    packed = pack_params(params, layers, feat, skip, use_beta, tau, dtype)
+    packed_list = _order(packed)
+    out = fused_field_packed(packed_list, x_in, layers, skip, use_beta,
+                             rgb_padding, dtype, feat)
+    res = {
+        "rgb": out[:, 0:3].reshape(*lead, 3),
+        "sigma": out[:, 3].reshape(*lead),
+        "sun_v": out[:, 4:5].reshape(*lead, 1),
+        "sky_rgb": out[:, 5:8].reshape(*lead, 3),
+    }
+    if use_beta:
+        res["beta"] = out[:, 8:9].reshape(*lead, 1)
+    return res

@@ -40,7 +40,12 @@ class RenderConfig:
 
 def _run_field(model, params, xyz, rays_d, sun_d, t_embed, z_vals, noise_key,
                noise_std, shadow: bool):
-    """Apply the field at (N, S, 3) points and composite to per-ray outputs."""
+    """Apply the field at (N, S, 3) points and composite to per-ray outputs.
+
+    `model` is either a flax module (RadianceField) or a bare callable
+    `(params, xyz, view_dir, sun_dir, t_embed) -> dict` — the hook through
+    which the fused Pallas kernel replaces the XLA MLP (ops/pallas/fused_mlp).
+    """
     n_rays, n_s, _ = xyz.shape
     view_dir = (
         None if rays_d is None else jnp.broadcast_to(rays_d[:, None, :], xyz.shape)
@@ -53,8 +58,11 @@ def _run_field(model, params, xyz, rays_d, sun_d, t_embed, z_vals, noise_key,
         if t_embed is None
         else jnp.broadcast_to(t_embed[:, None, :], (n_rays, n_s, t_embed.shape[-1]))
     )
-    out = model.apply({"params": params}, xyz, view_dir=view_dir,
-                      sun_dir=sun_dir, t_embed=t_e)
+    if hasattr(model, "apply"):
+        out = model.apply({"params": params}, xyz, view_dir=view_dir,
+                          sun_dir=sun_dir, t_embed=t_e)
+    else:
+        out = model(params, xyz, view_dir, sun_dir, t_e)
     noise = None
     if noise_std is not None:
         noise = noise_std * jax.random.normal(noise_key, out["sigma"].shape,

@@ -89,6 +89,30 @@ class NeRFSystem:
         if cfg.n_importance > 0:
             self.models["fine"] = build_model(cfg.model, cfg.fc_layers,
                                               cfg.fc_units, dtype=compute_dtype)
+
+        # fused Pallas field kernel: replaces the XLA MLP for the SIREN
+        # variants on TPU (not the mapped 'nerf' variant, and not on CPU
+        # where only interpret mode exists)
+        self.use_fused = cfg.fused == "on" or (
+            cfg.fused == "auto"
+            and cfg.model in ("s-nerf", "sat-nerf")
+            and jax.default_backend() not in ("cpu",)
+        )
+        if self.use_fused:
+            from satnerf_tpu.ops.pallas.fused_mlp import fused_field_apply
+
+            def fused_apply(params, xyz, view_dir, sun_dir, t_embed,
+                            _cfg=cfg, _dtype=compute_dtype):
+                return fused_field_apply(
+                    params, xyz, sun_dir, t_embed,
+                    layers=_cfg.fc_layers, feat=_cfg.fc_units, skip=4,
+                    use_beta=(_cfg.model == "sat-nerf"),
+                    tau=_cfg.t_embbeding_tau, dtype=_dtype,
+                )
+
+            self.field_fns = {k: fused_apply for k in self.models}
+        else:
+            self.field_fns = dict(self.models)
         if self.use_ts:
             self.embedding = TransientEmbedding(cfg.t_embbeding_vocab,
                                                 cfg.t_embbeding_tau)
@@ -153,7 +177,7 @@ class NeRFSystem:
     def render(self, params, rays, ts, key, train: bool, noise_std=None):
         cfg = self.render_cfg if train else self.eval_render_cfg
         t_embed = self._embed_ts(params, ts)
-        return render_rays(self.models, params, rays, t_embed, key, cfg,
+        return render_rays(self.field_fns, params, rays, t_embed, key, cfg,
                            noise_std=noise_std)
 
     # ------------------------------------------------------------- schedules

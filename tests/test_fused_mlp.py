@@ -1,0 +1,125 @@
+"""Fused Pallas field kernel vs the flax RadianceField — forward and full
+gradient equivalence, run in Pallas interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from satnerf_tpu.models import build_model
+from satnerf_tpu.ops.pallas import fused_mlp as FM
+
+
+def _setup(variant="sat-nerf", F=32, L=8, N=64, seed=0):
+    m = build_model(variant, L, F)
+    key = jax.random.PRNGKey(seed)
+    params = m.init(key, jnp.zeros((2, 3)), sun_dir=jnp.zeros((2, 3)),
+                    t_embed=jnp.zeros((2, 4)))["params"]
+    rng = np.random.RandomState(seed)
+    xyz = jnp.array(rng.randn(N, 3).astype(np.float32) * 0.3)
+    sun = jnp.array(rng.randn(N, 3).astype(np.float32))
+    sun = sun / jnp.linalg.norm(sun, axis=1, keepdims=True)
+    t_e = jnp.array(rng.randn(N, 4).astype(np.float32))
+    return m, params, xyz, sun, t_e
+
+
+class TestFusedForward:
+    @pytest.mark.parametrize("variant", ["sat-nerf", "s-nerf"])
+    def test_matches_flax(self, variant):
+        m, params, xyz, sun, t_e = _setup(variant)
+        use_beta = variant == "sat-nerf"
+        ref = m.apply({"params": params}, xyz, sun_dir=sun,
+                      t_embed=t_e if use_beta else None)
+        with pltpu.force_tpu_interpret_mode():
+            out = FM.fused_field_apply(
+                params, xyz, sun, t_e if use_beta else None,
+                layers=8, feat=32, use_beta=use_beta, dtype=jnp.float32,
+            )
+        keys = ["rgb", "sigma", "sun_v", "sky_rgb"] + (
+            ["beta"] if use_beta else []
+        )
+        for k in keys:
+            np.testing.assert_allclose(out[k], ref[k], atol=1e-4)
+
+    def test_leading_dims_preserved(self):
+        m, params, xyz, sun, t_e = _setup(N=60)
+        xyz3 = xyz.reshape(10, 6, 3)
+        with pltpu.force_tpu_interpret_mode():
+            out = FM.fused_field_apply(
+                params, xyz3, sun.reshape(10, 6, 3), t_e.reshape(10, 6, 4),
+                layers=8, feat=32, dtype=jnp.float32,
+            )
+        assert out["rgb"].shape == (10, 6, 3)
+        assert out["sigma"].shape == (10, 6)
+
+    def test_non_tile_multiple(self):
+        """N not a multiple of the kernel tile gets padded + unpadded."""
+        m, params, xyz, sun, t_e = _setup(N=37)
+        ref = m.apply({"params": params}, xyz, sun_dir=sun, t_embed=t_e)
+        with pltpu.force_tpu_interpret_mode():
+            out = FM.fused_field_apply(params, xyz, sun, t_e, layers=8,
+                                       feat=32, dtype=jnp.float32)
+        np.testing.assert_allclose(out["rgb"], ref["rgb"], atol=1e-4)
+
+
+class TestFusedGradients:
+    def test_all_param_grads_match(self):
+        m, params, xyz, sun, t_e = _setup()
+
+        def loss(apply_out):
+            return (apply_out["rgb"].sum() + 2 * apply_out["sigma"].sum()
+                    + 3 * apply_out["sun_v"].sum() + apply_out["sky_rgb"].sum()
+                    + 0.5 * apply_out["beta"].sum())
+
+        def loss_ref(p):
+            return loss(m.apply({"params": p}, xyz, sun_dir=sun, t_embed=t_e))
+
+        def loss_fused(p):
+            return loss(FM.fused_field_apply(p, xyz, sun, t_e, layers=8,
+                                             feat=32, dtype=jnp.float32))
+
+        with pltpu.force_tpu_interpret_mode():
+            g_ref = jax.grad(loss_ref)(params)
+            g_fused = jax.grad(loss_fused)(params)
+
+        for path, a in jax.tree_util.tree_leaves_with_path(g_ref):
+            b = g_fused
+            for p in path:
+                b = b[p.key]
+            scale = max(float(jnp.abs(a).max()), 1e-6)
+            np.testing.assert_allclose(
+                np.asarray(b) / scale, np.asarray(a) / scale, atol=3e-4,
+                err_msg=jax.tree_util.keystr(path),
+            )
+
+    def test_t_embed_input_grad(self):
+        m, params, xyz, sun, t_e = _setup()
+
+        def f_ref(t):
+            return m.apply({"params": params}, xyz, sun_dir=sun,
+                           t_embed=t)["beta"].sum()
+
+        def f_fused(t):
+            return FM.fused_field_apply(params, xyz, sun, t, layers=8,
+                                        feat=32, dtype=jnp.float32)["beta"].sum()
+
+        with pltpu.force_tpu_interpret_mode():
+            g_ref = jax.grad(f_ref)(t_e)
+            g_fused = jax.grad(f_fused)(t_e)
+        np.testing.assert_allclose(g_fused, g_ref, atol=1e-4)
+
+
+class TestPacking:
+    def test_pack_unpack_roundtrip_shapes(self):
+        m, params, *_ = _setup()
+        packed = FM.pack_params(params, 8, 32, 4, True, 4, jnp.float32)
+        assert packed["A"].shape == (16, 32)
+        assert packed["B"].shape == (7, 32, 32)
+        assert packed["Wsig"].shape == (32, 128)
+        grads = {k: jnp.ones_like(v) for k, v in packed.items()}
+        un = FM.unpack_grads(grads, params, 8, 32, 4, True)
+        for name, sub in un.items():
+            assert sub["Dense_0"]["kernel"].shape == (
+                params[name]["Dense_0"]["kernel"].shape
+            ), name
