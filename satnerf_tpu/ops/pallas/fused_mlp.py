@@ -581,12 +581,18 @@ def fused_field_apply(params: dict, xyz, sun_dir=None, t_embed=None, *,
     """
     lead = xyz.shape[:-1]
     n = int(np.prod(lead)) if lead else 1
-    x_in = jnp.zeros((n, IN_COLS), jnp.float32)
-    x_in = x_in.at[:, 0:3].set(xyz.reshape(n, 3))
-    if sun_dir is not None:
-        x_in = x_in.at[:, 3:6].set(sun_dir.reshape(n, 3))
+    cols = [xyz.reshape(n, 3).astype(jnp.float32)]
+    cols.append(
+        sun_dir.reshape(n, 3).astype(jnp.float32)
+        if sun_dir is not None else jnp.zeros((n, 3), jnp.float32)
+    )
     if t_embed is not None and use_beta:
-        x_in = x_in.at[:, 6 : 6 + tau].set(t_embed.reshape(n, tau))
+        cols.append(t_embed.reshape(n, tau).astype(jnp.float32))
+        used = 6 + tau
+    else:
+        used = 6
+    cols.append(jnp.zeros((n, IN_COLS - used), jnp.float32))
+    x_in = jnp.concatenate(cols, axis=-1)
 
     packed = pack_params(params, layers, feat, skip, use_beta, tau, dtype)
     packed_list = _order(packed)

@@ -312,22 +312,39 @@ class NeRFSystem:
     def make_eval_render(self):
         """Chunked full-image renderer: (params, rays, ts, key) -> results.
 
-        The chunk axis is sharded across the mesh; the caller pads rays to a
-        multiple of (chunk) and loops on host like eval_satnerf.py:46-66.
+        The chunk's ray axis is sharded across the mesh via shard_map (the
+        BASELINE north-star: eval/DSM ray grids split across chips); params
+        are replicated and outputs come back sharded/concatenated.
         """
+        rep = P()
+        data_spec = P(DATA_AXIS)
 
-        @functools.partial(jax.jit, static_argnames=())
+        def local_render(params, rays, ts, key):
+            t = ts if self.use_ts else None
+            return self.render(params, rays, t, key, train=False)
+
+        fn = jax.shard_map(
+            local_render,
+            mesh=self.mesh,
+            in_specs=(rep, data_spec, data_spec, rep),
+            out_specs=data_spec,
+            check_vma=False,
+        )
+
         def render_chunk(params, rays, ts, key):
-            return self.render(params, rays, ts, key, train=False)
+            if ts is None:
+                ts = jnp.zeros((rays.shape[0],), jnp.int32)
+            return fn(params, rays, ts, key)
 
-        return render_chunk
+        return jax.jit(render_chunk)
 
     def render_image(self, params, rays: np.ndarray, ts, key=None) -> dict:
         """Host-side helper: render H*W rays in device-sized chunks and
         concatenate (the reference's batched_inference, eval_satnerf.py:46-66)."""
         if key is None:
             key = jax.random.PRNGKey(0)
-        chunk = self.cfg.chunk
+        # chunk must split evenly across the mesh's ray axis
+        chunk = -(-self.cfg.chunk // self.n_devices) * self.n_devices
         n = rays.shape[0]
         render_chunk = getattr(self, "_render_chunk", None)
         if render_chunk is None:

@@ -1,0 +1,134 @@
+"""Blender synthetic dataset: fixture generation + a classic-NeRF training
+smoke run (BASELINE.json config #1, the geo-free CPU path)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from satnerf_tpu.config import Config
+from satnerf_tpu.data.blender import BlenderScene, pinhole_ray_directions
+from satnerf_tpu.parallel.mesh import make_mesh, shard_rays
+from satnerf_tpu.train.system import NeRFSystem
+
+
+def build_blender_fixture(root: str, n_frames: int = 3, size: int = 32):
+    """Tiny lego-style dataset: camera ring looking at a colored ball at the
+    origin, RGBA PNGs + transforms jsons."""
+    os.makedirs(root, exist_ok=True)
+    for split in ("train", "val", "test"):
+        frames = []
+        count = n_frames if split == "train" else 2
+        for i in range(count):
+            theta = 2 * np.pi * i / max(count, 1) + (0.3 if split != "train" else 0)
+            radius = 4.0
+            cam_pos = np.array(
+                [radius * np.sin(theta), radius * np.cos(theta), 1.0]
+            )
+            # look-at matrix toward origin, z-up-ish (OpenGL: -z forward)
+            fwd = -cam_pos / np.linalg.norm(cam_pos)
+            right = np.cross(fwd, [0, 0, 1.0])
+            right /= np.linalg.norm(right)
+            up = np.cross(right, fwd)
+            c2w = np.eye(4)
+            c2w[:3, 0] = right
+            c2w[:3, 1] = up
+            c2w[:3, 2] = -fwd
+            c2w[:3, 3] = cam_pos
+
+            # render: ray-sphere intersection against a unit ball at origin
+            K = np.eye(3)
+            focal = 0.5 * 800 / np.tan(0.5 * 0.7)
+            focal *= size / 800
+            K[0, 0] = K[1, 1] = focal
+            K[0, 2] = K[1, 2] = size / 2
+            dirs = pinhole_ray_directions(size, size, K)
+            wd = dirs @ c2w[:3, :3].T
+            wd = wd / np.linalg.norm(wd, axis=-1, keepdims=True)
+            oc = cam_pos
+            b = (wd @ oc)
+            disc = b**2 - (oc @ oc - 1.0)
+            hit = disc > 0
+            rgba = np.zeros((size, size, 4), np.uint8)
+            # shade by surface normal
+            tt = -b - np.sqrt(np.maximum(disc, 0))
+            p = oc + wd * tt[..., None]
+            rgba[..., 0] = np.where(hit, (127 + 127 * p[..., 0]), 0)
+            rgba[..., 1] = np.where(hit, (127 + 127 * p[..., 1]), 0)
+            rgba[..., 2] = np.where(hit, (127 + 127 * p[..., 2]), 0)
+            rgba[..., 3] = np.where(hit, 255, 0)
+
+            name = f"r_{split}_{i}"
+            Image.fromarray(rgba).save(os.path.join(root, name + ".png"))
+            frames.append({
+                "file_path": f"./{name}",
+                "transform_matrix": c2w.tolist(),
+            })
+        with open(os.path.join(root, f"transforms_{split}.json"), "w") as f:
+            json.dump({"camera_angle_x": 0.7, "frames": frames}, f)
+    return root
+
+
+@pytest.fixture(scope="module")
+def blender_root(tmp_path_factory):
+    return build_blender_fixture(str(tmp_path_factory.mktemp("blender")))
+
+
+class TestBlenderScene:
+    def test_train_split(self, blender_root):
+        ds = BlenderScene(blender_root, split="train", img_wh=(32, 32))
+        n = 3 * 32 * 32
+        assert ds.all_rays.shape == (n, 8)
+        assert ds.all_rgbs.shape == (n, 3)
+        # white background blend: empty pixels are white
+        assert ds.all_rgbs.max() > 0.99
+        np.testing.assert_allclose(
+            np.linalg.norm(ds.all_rays[:, 3:6], axis=1), 1.0, atol=1e-5
+        )
+        np.testing.assert_allclose(ds.all_rays[:, 6], 2.0)
+        np.testing.assert_allclose(ds.all_rays[:, 7], 6.0)
+
+    def test_val_image(self, blender_root):
+        ds = BlenderScene(blender_root, split="val", img_wh=(32, 32))
+        sample = ds.load_image(0)
+        assert sample["rays"].shape == (32 * 32, 8)
+        assert sample["h"] == sample["w"] == 32
+
+    def test_perturbations(self, blender_root):
+        ds = BlenderScene(blender_root, split="train", img_wh=(32, 32),
+                          perturbation=("color",))
+        ds0 = BlenderScene(blender_root, split="train", img_wh=(32, 32))
+        # frame 0 unperturbed, later frames perturbed
+        hw = 32 * 32
+        np.testing.assert_array_equal(ds.all_rgbs[:hw], ds0.all_rgbs[:hw])
+        assert np.abs(ds.all_rgbs[hw:] - ds0.all_rgbs[hw:]).max() > 0.01
+
+
+class TestBlenderSmokeTrain:
+    def test_classic_nerf_trains(self, blender_root, eight_devices):
+        """BASELINE config #1: vanilla NeRF on blender synthetic, few iters."""
+        ds = BlenderScene(blender_root, split="train", img_wh=(32, 32))
+        cfg = Config(model="nerf", data="blender", batch_size=256,
+                     fc_units=32, fc_layers=2, n_samples=8,
+                     max_train_steps=20, lr=5e-3)
+        mesh = make_mesh()
+        system = NeRFSystem(cfg, dataset_len=len(ds), mesh=mesh)
+        state = system.init_state(jax.random.PRNGKey(0))
+        _, (r, g, t) = shard_rays(
+            mesh, ds.all_rays, ds.all_rgbs, ds.all_ids
+        )
+        # blender rays are (N, 8): no sun column, classic nerf ignores it
+        step = system.make_train_step()
+        key = jax.random.PRNGKey(1)
+        first = last = None
+        for i in range(20):
+            state, m = step(state, {"rays": r, "rgbs": g, "ts": t}, key)
+            if i == 0:
+                first = float(m["loss"])
+            last = float(m["loss"])
+        assert np.isfinite(last)
+        assert last < first, (first, last)
