@@ -160,14 +160,17 @@ def create_dataset_from_DFC2019_data(aoi_id: str, img_dir: str, dfc_dir: str,
                 "pts3d_indices": kps_pts3d_ind[kps_cam_ind == cam_idx].tolist(),
             }
         else:
-            sidecar = os.path.splitext(rgb_p)[0] + ".rpc.json"
-            if not os.path.exists(sidecar):
-                raise FileNotFoundError(
-                    f"no RPC sidecar {sidecar}; GeoTIFF RPC-tag extraction "
-                    "requires imagery with embedded RPC00B tags"
-                )
-            with open(sidecar) as f:
-                d["rpc"] = json.load(f)
+            if g.rpc is not None:  # embedded TIFF RPCCoefficient tag
+                d["rpc"] = g.rpc
+            else:
+                sidecar = os.path.splitext(rgb_p)[0] + ".rpc.json"
+                if not os.path.exists(sidecar):
+                    raise FileNotFoundError(
+                        f"no RPC in {rgb_p} (no RPCCoefficient TIFF tag) and "
+                        f"no sidecar {sidecar}"
+                    )
+                with open(sidecar) as f:
+                    d["rpc"] = json.load(f)
 
         rpc = RPCModel.from_dict(d["rpc"])
         d["geojson"] = get_image_lonlat_aoi(rpc, d["height"], d["width"],
@@ -251,11 +254,12 @@ def crop_geotiff_lonlat_aoi(geotiff_path: str, output_path: str, lonlat_aoi,
     crop = g.data[:, y0:y1, x0:x1]
     prof = g.profile.copy()
     prof.width, prof.height = crop.shape[2], crop.shape[1]
-    write_geotiff(output_path, crop, prof)
 
     out_rpc = rpc.to_dict()
     out_rpc["row_offset"] -= y0
     out_rpc["col_offset"] -= x0
+    # embed the shifted RPC as a TIFF tag and keep a json sidecar
+    write_geotiff(output_path, crop, prof, rpc=out_rpc)
     with open(os.path.splitext(output_path)[0] + ".rpc.json", "w") as f:
         json.dump(out_rpc, f, indent=2)
 

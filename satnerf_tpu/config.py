@@ -40,6 +40,7 @@ class Config:
 
     # training and network configuration
     lr: float = 5e-4
+    lr_scheduler: str = "step"  # step | cosine | exponential | multistep
     batch_size: int = 1024
     img_downscale: float = 1.0
     max_train_steps: int = 300000
@@ -66,6 +67,7 @@ class Config:
     precision: str = "float32"  # float32 | bfloat16 (matmul inputs)
     fused: str = "auto"  # auto | on | off — fused Pallas field kernel
     log_every_n_steps: int = 100
+    profile_dir: Optional[str] = None  # write a jax.profiler trace of steps 20-30
     val_every_n_epochs: int = 1
     num_sanity_val_steps: int = 2
 
@@ -111,6 +113,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="accepted for reference-CLI compatibility; unused on TPU")
     # training / network
     p.add_argument("--lr", type=float, default=d.lr)
+    p.add_argument("--lr_scheduler", type=str, default=d.lr_scheduler,
+                   choices=["step", "cosine", "exponential", "multistep"])
     p.add_argument("--batch_size", type=int, default=d.batch_size)
     p.add_argument("--img_downscale", type=float, default=d.img_downscale)
     p.add_argument("--max_train_steps", type=int, default=d.max_train_steps)
@@ -137,6 +141,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fused", type=str, default=d.fused,
                    choices=["auto", "on", "off"])
     p.add_argument("--log_every_n_steps", type=int, default=d.log_every_n_steps)
+    p.add_argument("--profile_dir", type=str, default=d.profile_dir)
     p.add_argument("--val_every_n_epochs", type=int, default=d.val_every_n_epochs)
     p.add_argument("--num_sanity_val_steps", type=int, default=d.num_sanity_val_steps)
     return p

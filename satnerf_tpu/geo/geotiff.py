@@ -50,6 +50,7 @@ _T_GEO_DOUBLES = 34736
 _T_GEO_ASCII = 34737
 _T_GDAL_METADATA = 42112
 _T_GDAL_NODATA = 42113
+_T_RPC_COEFFICIENTS = 50844  # 92 doubles: RPC00B camera model
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
@@ -191,14 +192,44 @@ def _np_dtype(sample_format: int, bits: int) -> np.dtype:
 
 
 class GeoTIFF:
-    """Parsed GeoTIFF: `.data` is (count, height, width), `.profile` metadata."""
+    """Parsed GeoTIFF: `.data` is (count, height, width), `.profile` metadata,
+    `.rpc` an rpc dict when the file carries an RPCCoefficient tag."""
 
     def __init__(self, data: np.ndarray, profile: Profile):
         self.data = data
         self.profile = profile
+        self.rpc = None
 
     def read(self) -> np.ndarray:
         return self.data
+
+
+def rpc_dict_from_tag(vals) -> dict:
+    """TIFF RPCCoefficientTag (50844, 92 doubles) -> our rpc dict layout:
+    [err_bias, err_rand, LINE_OFF, SAMP_OFF, LAT_OFF, LONG_OFF, HEIGHT_OFF,
+     LINE_SCALE, SAMP_SCALE, LAT_SCALE, LONG_SCALE, HEIGHT_SCALE,
+     LINE_NUM(20), LINE_DEN(20), SAMP_NUM(20), SAMP_DEN(20)]."""
+    v = list(vals)
+    return {
+        "row_offset": v[2], "col_offset": v[3],
+        "lat_offset": v[4], "lon_offset": v[5], "alt_offset": v[6],
+        "row_scale": v[7], "col_scale": v[8],
+        "lat_scale": v[9], "lon_scale": v[10], "alt_scale": v[11],
+        "row_num": v[12:32], "row_den": v[32:52],
+        "col_num": v[52:72], "col_den": v[72:92],
+    }
+
+
+def rpc_tag_from_dict(d: dict):
+    """Inverse of rpc_dict_from_tag (err terms zeroed)."""
+    return (
+        [0.0, 0.0, float(d["row_offset"]), float(d["col_offset"]),
+         float(d["lat_offset"]), float(d["lon_offset"]), float(d["alt_offset"]),
+         float(d["row_scale"]), float(d["col_scale"]),
+         float(d["lat_scale"]), float(d["lon_scale"]), float(d["alt_scale"])]
+        + [float(x) for x in d["row_num"]] + [float(x) for x in d["row_den"]]
+        + [float(x) for x in d["col_num"]] + [float(x) for x in d["col_den"]]
+    )
 
 
 def read_geotiff(path: str) -> GeoTIFF:
@@ -319,14 +350,17 @@ def read_geotiff(path: str) -> GeoTIFF:
             profile.nodata = float(tags[_T_GDAL_NODATA][0])
         except ValueError:
             profile.nodata = float("nan")
-    return GeoTIFF(data, profile)
+    out = GeoTIFF(data, profile)
+    if _T_RPC_COEFFICIENTS in tags and len(tags[_T_RPC_COEFFICIENTS]) >= 92:
+        out.rpc = rpc_dict_from_tag(tags[_T_RPC_COEFFICIENTS])
+    return out
 
 
 # -------------------------------------------------------------------- writing
 
 
 def write_geotiff(path: str, data: np.ndarray, profile: Optional[Profile] = None,
-                  compress: bool = True) -> None:
+                  compress: bool = True, rpc: Optional[dict] = None) -> None:
     """Write (count, H, W) or (H, W) array as a stripped chunky GeoTIFF."""
     if data.ndim == 2:
         data = data[None]
@@ -394,6 +428,8 @@ def write_geotiff(path: str, data: np.ndarray, profile: Optional[Profile] = None
     if profile.nodata is not None:
         nod = profile.nodata
         add(_T_GDAL_NODATA, 2, "nan" if (isinstance(nod, float) and np.isnan(nod)) else repr(nod))
+    if rpc is not None:
+        add(_T_RPC_COEFFICIENTS, 12, rpc_tag_from_dict(rpc))
 
     # strip offsets/counts placeholders (patched after layout)
     add(_T_STRIP_OFFSETS, 4, [0] * len(strips))

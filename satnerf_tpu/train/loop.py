@@ -170,6 +170,14 @@ def fit(cfg: Config) -> dict:
     final_metrics = {}
 
     for step_i in range(start_step, cfg.max_train_steps):
+        # device trace of a steady-state window (replaces the reference's
+        # pl profiler="simple", main.py:259, with a real hardware profile)
+        if cfg.profile_dir and step_i == start_step + 20:
+            jax.profiler.start_trace(cfg.profile_dir)
+        if cfg.profile_dir and step_i == start_step + 30:
+            jax.profiler.stop_trace()
+            print(f"wrote jax profiler trace to {cfg.profile_dir}")
+
         state, m = train_step(state, data, key)
         rays_done += cfg.batch_size
 

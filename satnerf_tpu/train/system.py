@@ -132,12 +132,12 @@ class NeRFSystem:
             solar_correction=False,
         )
 
-        def lr_schedule(step):
-            epoch = step // self.spe
-            return cfg.lr * jnp.power(0.9, epoch)
+        from satnerf_tpu.train.schedules import get_schedule
 
-        self.lr_schedule = lr_schedule
-        self.tx = optax.adam(learning_rate=lr_schedule)
+        num_epochs = max(cfg.max_train_steps // self.spe, 1)
+        self.lr_schedule = get_schedule(cfg.lr_scheduler, cfg.lr, num_epochs,
+                                        self.spe)
+        self.tx = optax.adam(learning_rate=self.lr_schedule)
 
     # ------------------------------------------------------------------ init
 
