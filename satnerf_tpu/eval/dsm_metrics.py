@@ -22,21 +22,44 @@ from satnerf_tpu.ops.dsm_registration import (
 
 
 def _crop_to_roi(dsm_path: str, xoff, yoff, xsize, ysize, resolution):
-    """Window the predicted DSM to the GT ROI grid (sat_utils.py:128-139)."""
+    """Window the predicted DSM to the GT ROI grid (sat_utils.py:128-139).
+
+    When the prediction's grid resolution differs from the GT's (the reference
+    silently assumes they match, which holds for DFC2019's 0.5 m products),
+    the prediction is resampled onto the ROI grid by scatter-mean of its
+    finite cells — grids of any resolution compare correctly.
+    """
     g = read_geotiff(dsm_path)
     t = g.profile.transform
     uly = yoff + ysize * resolution
-    col0 = int(round((xoff - t.c) / t.a))
-    row0 = int(round((uly - t.f) / t.e))
-    out = np.full((ysize, xsize), np.nan)
     h, w = g.data.shape[1:]
-    r0, r1 = max(row0, 0), min(row0 + ysize, h)
-    c0, c1 = max(col0, 0), min(col0 + xsize, w)
-    if r1 > r0 and c1 > c0:
-        out[r0 - row0 : r1 - row0, c0 - col0 : c1 - col0] = g.data[0, r0:r1, c0:c1]
+
+    if abs(abs(t.a) - resolution) < 1e-9:
+        # matched grids: pixel-aligned window (reference fast path)
+        col0 = int(round((xoff - t.c) / t.a))
+        row0 = int(round((uly - t.f) / t.e))
+        out = np.full((ysize, xsize), np.nan)
+        r0, r1 = max(row0, 0), min(row0 + ysize, h)
+        c0, c1 = max(col0, 0), min(col0 + xsize, w)
+        if r1 > r0 and c1 > c0:
+            out[r0 - row0 : r1 - row0, c0 - col0 : c1 - col0] = (
+                g.data[0, r0:r1, c0:c1]
+            )
+    else:
+        # mismatched grids: splat finite pred cells into the ROI grid
+        from satnerf_tpu.ops.dsm_raster import raster_dsm
+
+        vals = g.data[0].astype(np.float64)
+        rows, cols = np.nonzero(np.isfinite(vals))
+        x = t.c + (cols + 0.5) * t.a
+        y = t.f + (rows + 0.5) * t.e
+        cloud = np.stack([x, y, vals[rows, cols]], axis=-1)
+        out = raster_dsm(cloud, xoff, uly, resolution, xsize, ysize,
+                         radius=0)[:, :, 0]
+
     prof = g.profile.copy()
     prof.width, prof.height = xsize, ysize
-    prof.transform = type(t)(t.a, t.b, xoff, t.d, t.e, uly)
+    prof.transform = type(t)(resolution, t.b, xoff, t.d, -resolution, uly)
     prof.nodata = float("nan")
     prof.dtype = "float64"
     return out, prof

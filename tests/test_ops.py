@@ -123,3 +123,36 @@ class TestSchedules:
                                    rtol=1e-6)
         with pytest.raises(ValueError):
             get_schedule("bogus", 1e-3, 20, spe)
+
+
+class TestDsmMetricResample:
+    def test_crop_matched_resolution(self, tmp_path):
+        from satnerf_tpu.eval.dsm_metrics import _crop_to_roi
+        from satnerf_tpu.geo.geotiff import Affine, Profile, write_geotiff
+
+        data = np.arange(64, dtype=np.float64).reshape(1, 8, 8)
+        prof = Profile(8, 8, 1, "float64", 32617,
+                       Affine(2.0, 0, 100.0, 0, -2.0, 50.0), float("nan"))
+        p = str(tmp_path / "pred.tif")
+        write_geotiff(p, data, prof)
+        out, oprof = _crop_to_roi(p, 104.0, 50.0 - 12.0, 4, 4, 2.0)
+        # window: cols 2..5, rows 1..4 (uly = 50 - 12 + 4*2 = 46 -> row 2)
+        np.testing.assert_array_equal(out, data[0, 2:6, 2:6])
+
+    def test_crop_resamples_mismatched_resolution(self, tmp_path):
+        """Pred at 0.5 m vs GT ROI at 2 m: values aggregate by cell mean."""
+        from satnerf_tpu.eval.dsm_metrics import _crop_to_roi
+        from satnerf_tpu.geo.geotiff import Affine, Profile, write_geotiff
+
+        # 16x16 pred at 0.5 m covering an 8x8 m square from (100, 42)..(108, 50)
+        data = np.full((1, 16, 16), 7.0)
+        data[0, :8, :8] = 3.0  # upper-left 4x4 m quadrant
+        prof = Profile(16, 16, 1, "float64", 32617,
+                       Affine(0.5, 0, 100.0, 0, -0.5, 50.0), float("nan"))
+        p = str(tmp_path / "pred05.tif")
+        write_geotiff(p, data, prof)
+        out, oprof = _crop_to_roi(p, 100.0, 42.0, 4, 4, 2.0)
+        assert out.shape == (4, 4)
+        np.testing.assert_allclose(out[0, 0], 3.0)  # inside the 3.0 quadrant
+        np.testing.assert_allclose(out[3, 3], 7.0)
+        assert abs(oprof.transform.a) == 2.0
