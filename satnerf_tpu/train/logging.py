@@ -47,11 +47,11 @@ class RunLogger:
 def visualize_depth(depth, cmap: str = "jet"):
     """(H, W) depth -> (3, H, W) colormapped float array in [0, 1]
     (train_utils.py:59-72, matplotlib jet in place of cv2 COLORMAP_JET)."""
-    import matplotlib.cm as cm
+    import matplotlib
     import numpy as np
 
     x = np.nan_to_num(np.asarray(depth, np.float64))
     mi, ma = x.min(), x.max()
     x = (x - mi) / (ma - mi + 1e-8)
-    rgba = cm.get_cmap(cmap)(x)
+    rgba = matplotlib.colormaps[cmap](x)
     return np.moveaxis(rgba[..., :3], -1, 0).astype("float32")

@@ -66,7 +66,7 @@ def interpolate_nans(image, method="nearest"):
 
 
 def hstack_depth_tifs(img_paths, crop=True, cmap="viridis", vmin=None, vmax=None):
-    import matplotlib.cm as cm
+    import matplotlib
 
     from satnerf_tpu.geo.geotiff import read_geotiff
 
@@ -79,7 +79,7 @@ def hstack_depth_tifs(img_paths, crop=True, cmap="viridis", vmin=None, vmax=None
         mi = np.min(x) if vmin is None else vmin
         ma = np.max(x) if vmax is None else vmax
         x = (np.clip(x, mi, ma) - mi) / (ma - mi + 1e-8)
-        rgba = cm.get_cmap(cmap)(x)
+        rgba = matplotlib.colormaps[cmap](x)
         images.append((rgba[..., :3] * 255).astype(np.uint8))
     return np.hstack(images)
 

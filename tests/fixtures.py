@@ -52,12 +52,30 @@ def albedo_field(lon, lat):
 
 
 def build_synthetic_dataset(root: str, n_train: int = 3, n_test: int = 2,
-                            w: int = 32, h: int = 32, seed: int = 0):
-    """Write a reference-format dataset: per-image json + tif + splits."""
+                            w: int = 32, h: int = 32, seed: int = 0,
+                            with_keypoints: bool = False, n_kp: int = 40):
+    """Write a reference-format dataset: per-image json + tif + splits.
+
+    with_keypoints adds bundle-adjustment-style depth supervision data:
+    pts3d.npy (ECEF tie points ON the true surface) and per-image
+    keypoints {2d_coordinates, pts3d_indices}, like the reference's BA output
+    (create_satellite_dataset.py:125-136).
+    """
+    from satnerf_tpu.geo.ellipsoid import ecef_from_latlon
+
     os.makedirs(root, exist_ok=True)
     rng = np.random.RandomState(seed)
     names = []
     n_total = n_train + n_test
+
+    tie_lons = tie_lats = tie_alts = pts3d = None
+    if with_keypoints:
+        tie_lons = rng.uniform(AOI_LON - 0.0015, AOI_LON + 0.0015, n_kp)
+        tie_lats = rng.uniform(AOI_LAT - 0.0015, AOI_LAT + 0.0015, n_kp)
+        tie_alts = height_field(tie_lons, tie_lats)
+        pts3d = np.stack(ecef_from_latlon(tie_lats, tie_lons, tie_alts), -1)
+        np.save(os.path.join(root, "pts3d.npy"), pts3d)
+
     for i in range(n_total):
         dx = rng.uniform(-0.05, 0.05)
         dy = rng.uniform(-0.05, 0.05)
@@ -103,6 +121,20 @@ def build_synthetic_dataset(root: str, n_train: int = 3, n_test: int = 2,
             "max_alt": ALT_MAX,
             "rpc": rpc.to_dict(),
         }
+        if with_keypoints:
+            kp_cols, kp_rows = rpc.projection(tie_lons, tie_lats, tie_alts)
+            inside = ((kp_cols >= 0) & (kp_cols <= w - 1)
+                      & (kp_rows >= 0) & (kp_rows <= h - 1))
+            idx = np.nonzero(inside)[0]
+            # small reprojection noise like real BA residuals
+            noise = rng.normal(0, 0.05, (idx.size, 2))
+            meta["keypoints"] = {
+                "2d_coordinates": np.stack(
+                    [kp_cols[idx] + noise[:, 0], kp_rows[idx] + noise[:, 1]],
+                    -1,
+                ).tolist(),
+                "pts3d_indices": idx.tolist(),
+            }
         with open(os.path.join(root, name + ".json"), "w") as f:
             json.dump(meta, f)
         names.append(name + ".json")
