@@ -132,6 +132,10 @@ def fit(cfg: Config) -> dict:
         mesh=mesh,
     )
     logger = RunLogger(cfg.logs_dir, cfg.exp_name)
+    # opts.json is half the checkpoint contract (opt.py:85-87) — guarantee it
+    # regardless of whether the run came through the CLI or fit() directly
+    if not os.path.exists(os.path.join(cfg.logs_dir, cfg.exp_name, "opts.json")):
+        cfg.dump()
 
     state = system.init_state(jax.random.PRNGKey(cfg.seed))
     if cfg.ckpt_path:

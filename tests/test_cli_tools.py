@@ -1,0 +1,110 @@
+"""End-to-end product-tool tests: train a tiny run with fit(), then drive
+eval_aoi and create_pretty_dsm against its artifacts on the CPU mesh."""
+
+import os
+
+import numpy as np
+import pytest
+
+from satnerf_tpu.config import Config
+from satnerf_tpu.geo.geotiff import Affine, Profile, write_geotiff
+from satnerf_tpu.geo.utm import utm_from_latlon
+from satnerf_tpu.ops.dsm_raster import raster_dsm
+from tests.fixtures import AOI_LAT, AOI_LON, build_synthetic_dataset, height_field
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory, eight_devices):
+    """One tiny trained run + GT rasters, shared across the tool tests."""
+    base = tmp_path_factory.mktemp("cli")
+    data = str(base / "data")
+    build_synthetic_dataset(data, n_train=3, n_test=2, w=24, h=24)
+
+    gt = str(base / "gt")
+    os.makedirs(gt, exist_ok=True)
+    lons = np.linspace(AOI_LON - 0.002, AOI_LON + 0.002, 200)
+    lats = np.linspace(AOI_LAT - 0.002, AOI_LAT + 0.002, 200)
+    LO, LA = np.meshgrid(lons, lats)
+    E, N = utm_from_latlon(LA.ravel(), LO.ravel())
+    Z = height_field(LO.ravel(), LA.ravel())
+    res = 2.0
+    xoff = np.floor(E.min() / res) * res
+    yoff = np.floor(N.min() / res) * res
+    size = int(min((E.max() - xoff) // res, (N.max() - yoff) // res))
+    dsm = raster_dsm(np.stack([E, N, Z], -1), xoff, yoff + size * res, res,
+                     size, size, radius=1)
+    prof = Profile(size, size, 1, "float32", 32617,
+                   Affine(res, 0, xoff, 0, -res, yoff + size * res),
+                   float("nan"))
+    write_geotiff(os.path.join(gt, "SYN_000_DSM.tif"),
+                  dsm[:, :, 0][None].astype(np.float32), prof)
+    np.savetxt(os.path.join(gt, "SYN_000_DSM.txt"),
+               np.array([xoff, yoff, size, res]))
+    write_geotiff(os.path.join(gt, "SYN_000_CLS.tif"),
+                  np.zeros((1, size, size), np.uint8),
+                  Profile(size, size, 1, "uint8", 32617, prof.transform))
+
+    from satnerf_tpu.train.loop import fit
+
+    cfg = Config(
+        root_dir=data, gt_dir=gt, model="sat-nerf", batch_size=128,
+        fc_units=32, fc_layers=2, n_samples=8, max_train_steps=12,
+        sc_lambda=0.0, first_beta_epoch=999, chunk=640,
+        log_every_n_steps=6, save_every_n_epochs=1, val_every_n_epochs=9999,
+        num_sanity_val_steps=0,
+        logs_dir=str(base / "logs"), ckpts_dir=str(base / "ckpts"),
+    )
+    cfg.stamp_exp_name()
+    fit(cfg)
+    return {"cfg": cfg, "data": data, "gt": gt, "base": str(base)}
+
+
+class TestEvalCLI:
+    def test_eval_aoi(self, trained_run):
+        import importlib
+
+        eval_mod = importlib.import_module("eval")
+        cfg = trained_run["cfg"]
+        epochs = sorted(
+            int(f.split("=")[1].split(".")[0])
+            for f in os.listdir(os.path.join(cfg.ckpts_dir, cfg.exp_name))
+        )
+        out = eval_mod.eval_aoi(
+            run_id=cfg.exp_name, logs_dir=cfg.logs_dir,
+            output_dir=os.path.join(trained_run["base"], "eval_out"),
+            epoch_number=epochs[-1], split="val",
+            checkpoints_dir=cfg.ckpts_dir, root_dir=trained_run["data"],
+            gt_dir=trained_run["gt"],
+        )
+        assert np.isfinite(out["psnr"]) and np.isfinite(out["ssim"])
+        assert np.isfinite(out["mae"])
+        # full product set written
+        d = os.path.join(trained_run["base"], "eval_out", cfg.exp_name, "val")
+        for sub in ("rgb", "gt_rgb", "depth", "dsm", "sun", "albedo", "beta",
+                    "sky", "rdsm", "rdsm_diff"):
+            assert os.listdir(os.path.join(d, sub)), sub
+
+
+class TestCreateDsmCLI:
+    def test_create_pretty_dsm(self, trained_run):
+        import importlib
+
+        cd = importlib.import_module("create_dsm")
+        cfg = trained_run["cfg"]
+        epochs = sorted(
+            int(f.split("=")[1].split(".")[0])
+            for f in os.listdir(os.path.join(cfg.ckpts_dir, cfg.exp_name))
+        )
+        mae = cd.create_pretty_dsm(
+            run_id=cfg.exp_name, logs_dir=cfg.logs_dir,
+            output_dir=os.path.join(trained_run["base"], "dsm_out"),
+            epoch_number=epochs[-1],
+            checkpoints_dir=cfg.ckpts_dir, root_dir=trained_run["data"],
+            gt_dir=trained_run["gt"],
+        )
+        assert np.isfinite(mae)
+        run_out = os.path.join(trained_run["base"], "dsm_out", cfg.exp_name)
+        files = os.listdir(run_out)
+        assert any("_dsm_epoch" in f for f in files)
+        assert any("_rdsm_epoch" in f and f.endswith(".tif") for f in files)
+        assert any(f == "tmp_gt.tif" for f in files)  # water-masked GT copy
