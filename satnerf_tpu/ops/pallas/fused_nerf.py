@@ -1,0 +1,377 @@
+"""Fused Pallas kernel for the classic-NeRF variant (positional encoding +
+ReLU trunk + view-dir rgb head).
+
+Same design as fused_mlp.py's SIREN kernel (weights + tile resident in VMEM,
+recompute-in-backward, sequential-grid f32 gradient accumulation), with the
+variant's differences:
+
+  * inputs are (N, 8): xyz(3) | view_dir(3) | pad — the positional encodings
+    (60-d xyz @ 10 freqs, 24-d dir @ 4 freqs, models/nerf.py:36-69 ordering)
+    are computed inside the kernel with the fast trig polynomials, so the
+    600 MB of encoded points the XLA path materializes never exist;
+  * ReLU activations: backward masks on the stored post-activations instead
+    of cosine factors — half the residual memory of the SIREN kernel;
+  * heads: sigma + feats + rgb(feats ++ enc_dir); no sun/sky/beta;
+  * no input gradients (xyz/dirs are data).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from satnerf_tpu.ops.pallas.fused_mlp import (
+    _dot,
+    _dot_t_lhs,
+    _dot_t_rhs,
+    fast_cos,
+    fast_sin,
+)
+
+TILE = 1024
+BWD_TILE = 1024
+IN_COLS = 8
+OUT_COLS = 8
+
+_ORDER = ["A", "B", "C", "bt", "Wsig", "bsig", "Wfeat", "bfeat",
+          "Wrgb0h", "Wrgb0d", "brgb0", "Wrgb1", "brgb1"]
+
+
+def _enc_dims(n_freqs):
+    return 3 * 2 * n_freqs
+
+
+def _pad_up(n, m=64):
+    return -(-n // m) * m
+
+
+# ------------------------------------------------------------- param packing
+
+
+def pack_params(params: dict, layers: int, feat: int, skip: int,
+                n_freq_xyz: int, n_freq_dir: int, dtype=jnp.bfloat16) -> dict:
+    exyz = _enc_dims(n_freq_xyz)   # 60
+    edir = _enc_dims(n_freq_dir)   # 24
+    exyz_p = _pad_up(exyz)         # 64
+    edir_p = _pad_up(edir, 32)     # 32
+
+    def k(name):
+        return params[name]["Dense_0"]["kernel"]
+
+    def b(name):
+        return params[name]["Dense_0"]["bias"]
+
+    def pad_rows(w, rows):
+        out = jnp.zeros((rows, w.shape[1]), jnp.float32)
+        return out.at[: w.shape[0]].set(w)
+
+    def pad_lanes(w, cols=128):
+        out = jnp.zeros((w.shape[0], cols), jnp.float32)
+        return out.at[:, : w.shape[1]].set(w)
+
+    def pad_bias(v, cols=128):
+        out = jnp.zeros((cols,), jnp.float32)
+        return out.at[: v.shape[0]].set(v)
+
+    A = pad_rows(k("fc_0"), exyz_p)
+    B_list, bt = [], [b("fc_0")]
+    C = jnp.zeros((exyz_p, feat), jnp.float32)
+    for l in range(1, layers):
+        w = k(f"fc_{l}")
+        if l == skip:
+            C = pad_rows(w[:exyz], exyz_p)
+            B_list.append(w[exyz:])
+        else:
+            B_list.append(w)
+        bt.append(b(f"fc_{l}"))
+
+    wr0 = k("rgb_0")  # (feat + edir, feat//2)
+    return {
+        "A": A.astype(dtype),
+        "B": jnp.stack(B_list).astype(dtype),
+        "C": C.astype(dtype),
+        "bt": jnp.stack(bt),
+        "Wsig": pad_lanes(k("sigma_head")).astype(dtype),
+        "bsig": pad_bias(b("sigma_head")),
+        "Wfeat": k("feats_head").astype(dtype),
+        "bfeat": b("feats_head"),
+        "Wrgb0h": wr0[:feat].astype(dtype),
+        "Wrgb0d": pad_rows(wr0[feat:], edir_p).astype(dtype),
+        "brgb0": b("rgb_0"),
+        "Wrgb1": pad_lanes(k("rgb_1")).astype(dtype),
+        "brgb1": pad_bias(b("rgb_1")),
+    }
+
+
+# -------------------------------------------------------------- kernel bodies
+
+
+def _posenc(x, n_freqs, padded):
+    """In-kernel positional encoding, reference ordering
+    (per-frequency [sin(f*x) cos(f*x)] blocks), zero-padded to `padded`."""
+    parts = []
+    for kf in range(n_freqs):
+        f = float(2.0**kf)
+        parts.append(fast_sin(f * x))
+        parts.append(fast_cos(f * x))
+    enc = jnp.concatenate(parts, axis=-1)
+    pad = padded - enc.shape[-1]
+    if pad:
+        enc = jnp.concatenate(
+            [enc, jnp.zeros((x.shape[0], pad), jnp.float32)], axis=-1
+        )
+    return enc
+
+
+def _forward(xin, w, layers, skip, n_freq_xyz, n_freq_dir, rgb_padding, dtype,
+             save=None):
+    exyz = _enc_dims(n_freq_xyz)
+    edir = _enc_dims(n_freq_dir)
+    enc_x = _posenc(xin[:, 0:3], n_freq_xyz, _pad_up(exyz))
+    enc_d = _posenc(xin[:, 3:6], n_freq_dir, _pad_up(edir, 32))
+    exb = enc_x.astype(dtype)
+    edb = enc_d.astype(dtype)
+
+    h = jax.nn.relu(_dot(exb, w["A"]) + w["bt"][0][None, :])
+    if save is not None:
+        save["h"] = [h]
+    for l in range(1, layers):
+        pre = _dot(h.astype(dtype), w["B"][l - 1]) + w["bt"][l][None, :]
+        if l == skip:
+            pre = pre + _dot(exb, w["C"])
+        h = jax.nn.relu(pre)
+        if save is not None:
+            save["h"].append(h)
+
+    sigma_pre = _dot(h.astype(dtype), w["Wsig"]) + w["bsig"][None, :]
+    sigma = jax.nn.softplus(sigma_pre[:, 0:1])
+    feats = _dot(h.astype(dtype), w["Wfeat"]) + w["bfeat"][None, :]
+    fb = feats.astype(dtype)
+
+    r = jax.nn.relu(
+        _dot(fb, w["Wrgb0h"]) + _dot(edb, w["Wrgb0d"]) + w["brgb0"][None, :]
+    )
+    rgb_s = jax.nn.sigmoid(
+        _dot(r.astype(dtype), w["Wrgb1"]) + w["brgb1"][None, :]
+    )
+    rgb = rgb_s[:, 0:3] * (1 + 2 * rgb_padding) - rgb_padding
+
+    if save is not None:
+        save.update(enc_x=enc_x, enc_d=enc_d, feats=feats, r=r, rgb_s=rgb_s)
+    return rgb, sigma
+
+
+def _make_fwd_kernel(layers, skip, n_freq_xyz, n_freq_dir, rgb_padding, dtype):
+    def kernel(in_ref, *w_refs):
+        out_ref = w_refs[-1]
+        w = {k: r[...] for k, r in zip(_ORDER, w_refs[:-1])}
+        xin = in_ref[...]
+        rgb, sigma = _forward(xin, w, layers, skip, n_freq_xyz, n_freq_dir,
+                              rgb_padding, dtype)
+        t = xin.shape[0]
+        out_ref[...] = jnp.concatenate(
+            [rgb, sigma, jnp.zeros((t, OUT_COLS - 4), jnp.float32)], axis=-1
+        )
+
+    return kernel
+
+
+def _make_bwd_kernel(layers, skip, n_freq_xyz, n_freq_dir, rgb_padding, dtype):
+    n_w = len(_ORDER)
+
+    def kernel(in_ref, g_ref, *refs):
+        w = {k: r[...] for k, r in zip(_ORDER, refs[:n_w])}
+        grad_refs = {k: r for k, r in zip(_ORDER, refs[n_w:])}
+
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            for k in _ORDER:
+                grad_refs[k][...] = jnp.zeros(
+                    grad_refs[k].shape, grad_refs[k].dtype
+                )
+
+        xin = in_ref[...]
+        g = g_ref[...]
+        sv = {}
+        _forward(xin, w, layers, skip, n_freq_xyz, n_freq_dir, rgb_padding,
+                 dtype, save=sv)
+        t = xin.shape[0]
+        exb = sv["enc_x"].astype(dtype)
+        edb = sv["enc_d"].astype(dtype)
+        h_last = sv["h"][layers - 1]
+        hb = h_last.astype(dtype)
+        fb = sv["feats"].astype(dtype)
+
+        def acc(name, val):
+            grad_refs[name][...] += val
+
+        def pad128(v):
+            return jnp.concatenate(
+                [v, jnp.zeros((t, 128 - v.shape[1]), jnp.float32)], axis=-1
+            )
+
+        # rgb head
+        rgb_s3 = sv["rgb_s"][:, 0:3]
+        d_rgb1 = pad128(g[:, 0:3] * (1 + 2 * rgb_padding)
+                        * rgb_s3 * (1.0 - rgb_s3))
+        acc("Wrgb1", _dot_t_lhs(sv["r"].astype(dtype), d_rgb1.astype(dtype)))
+        acc("brgb1", jnp.sum(d_rgb1, axis=0))
+        d_r = _dot_t_rhs(d_rgb1.astype(dtype), w["Wrgb1"]) * (sv["r"] > 0)
+        acc("Wrgb0h", _dot_t_lhs(fb, d_r.astype(dtype)))
+        acc("Wrgb0d", _dot_t_lhs(edb, d_r.astype(dtype)))
+        acc("brgb0", jnp.sum(d_r, axis=0))
+        d_feats = _dot_t_rhs(d_r.astype(dtype), w["Wrgb0h"])
+
+        # feats + sigma
+        acc("Wfeat", _dot_t_lhs(hb, d_feats.astype(dtype)))
+        acc("bfeat", jnp.sum(d_feats, axis=0))
+        d_h = _dot_t_rhs(d_feats.astype(dtype), w["Wfeat"])
+
+        sigma = jax.nn.softplus(
+            (_dot(hb, w["Wsig"]) + w["bsig"][None, :])[:, 0:1]
+        )
+        d_sig = pad128(g[:, 3:4] * (1.0 - jnp.exp(-sigma)))
+        acc("Wsig", _dot_t_lhs(hb, d_sig.astype(dtype)))
+        acc("bsig", jnp.sum(d_sig, axis=0))
+        d_h += _dot_t_rhs(d_sig.astype(dtype), w["Wsig"])
+
+        # trunk
+        for l in range(layers - 1, 0, -1):
+            d_pre = d_h * (sv["h"][l] > 0)
+            h_prev = sv["h"][l - 1]
+            grad_refs["B"][l - 1] += _dot_t_lhs(
+                h_prev.astype(dtype), d_pre.astype(dtype)
+            )
+            grad_refs["bt"][l] += jnp.sum(d_pre, axis=0)
+            if l == skip:
+                acc("C", _dot_t_lhs(exb, d_pre.astype(dtype)))
+            d_h = _dot_t_rhs(d_pre.astype(dtype), w["B"][l - 1])
+        d_pre0 = d_h * (sv["h"][0] > 0)
+        acc("A", _dot_t_lhs(exb, d_pre0.astype(dtype)))
+        grad_refs["bt"][0] += jnp.sum(d_pre0, axis=0)
+
+    return kernel
+
+
+# --------------------------------------------------------------- public API
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def fused_nerf_packed(packed_list, x_in, layers, skip, n_freq_xyz, n_freq_dir,
+                      rgb_padding, dtype):
+    return _fwd_impl(packed_list, x_in, layers, skip, n_freq_xyz, n_freq_dir,
+                     rgb_padding, dtype)
+
+
+def _fwd_impl(packed_list, x_in, layers, skip, n_freq_xyz, n_freq_dir,
+              rgb_padding, dtype):
+    n = x_in.shape[0]
+    n_pad = ((n + TILE - 1) // TILE) * TILE
+    if n_pad != n:
+        x_in = jnp.pad(x_in, ((0, n_pad - n), (0, 0)))
+    kernel = _make_fwd_kernel(layers, skip, n_freq_xyz, n_freq_dir,
+                              rgb_padding, dtype)
+    w_specs = [
+        pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for p in packed_list
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // TILE,),
+        in_specs=[
+            pl.BlockSpec((TILE, IN_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec((TILE, OUT_COLS), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, OUT_COLS), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024
+        ),
+    )(x_in, *packed_list)
+    return out[:n]
+
+
+def _vjp_fwd(packed_list, x_in, layers, skip, n_freq_xyz, n_freq_dir,
+             rgb_padding, dtype):
+    out = _fwd_impl(packed_list, x_in, layers, skip, n_freq_xyz, n_freq_dir,
+                    rgb_padding, dtype)
+    return out, (packed_list, x_in)
+
+
+def _vjp_bwd(layers, skip, n_freq_xyz, n_freq_dir, rgb_padding, dtype,
+             residuals, g):
+    packed_list, x_in = residuals
+    n = x_in.shape[0]
+    n_pad = ((n + BWD_TILE - 1) // BWD_TILE) * BWD_TILE
+    if n_pad != n:
+        x_in = jnp.pad(x_in, ((0, n_pad - n), (0, 0)))
+        g = jnp.pad(g, ((0, n_pad - n), (0, 0)))
+    kernel = _make_bwd_kernel(layers, skip, n_freq_xyz, n_freq_dir,
+                              rgb_padding, dtype)
+    w_specs = [
+        pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for p in packed_list
+    ]
+    grad_specs = [
+        pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for p in packed_list
+    ]
+    grads = pl.pallas_call(
+        kernel,
+        grid=(n_pad // BWD_TILE,),
+        in_specs=[
+            pl.BlockSpec((BWD_TILE, IN_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BWD_TILE, OUT_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=tuple(grad_specs),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in packed_list
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024
+        ),
+    )(x_in, g, *packed_list)
+    grads = [gr.astype(p.dtype) for gr, p in zip(grads, packed_list)]
+    return (grads, jnp.zeros_like(x_in[:n]))
+
+
+fused_nerf_packed.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def fused_nerf_apply(params: dict, xyz, view_dir, *, layers: int = 8,
+                     feat: int = 256, skip: int = 4, n_freq_xyz: int = 10,
+                     n_freq_dir: int = 4, rgb_padding: float = 0.001,
+                     dtype=jnp.bfloat16) -> dict:
+    """Drop-in replacement for RadianceField.apply on the 'nerf' variant."""
+    lead = xyz.shape[:-1]
+    n = int(np.prod(lead)) if lead else 1
+    vd = (view_dir.reshape(n, 3).astype(jnp.float32)
+          if view_dir is not None else jnp.zeros((n, 3), jnp.float32))
+    x_in = jnp.concatenate(
+        [xyz.reshape(n, 3).astype(jnp.float32), vd,
+         jnp.zeros((n, IN_COLS - 6), jnp.float32)], axis=-1,
+    )
+    packed = pack_params(params, layers, feat, skip, n_freq_xyz, n_freq_dir,
+                         dtype)
+    plist = [packed[k] for k in _ORDER]
+    out = fused_nerf_packed(plist, x_in, layers, skip, n_freq_xyz, n_freq_dir,
+                            rgb_padding, dtype)
+    return {
+        "rgb": out[:, 0:3].reshape(*lead, 3),
+        "sigma": out[:, 3].reshape(*lead),
+    }

@@ -90,15 +90,12 @@ class NeRFSystem:
             self.models["fine"] = build_model(cfg.model, cfg.fc_layers,
                                               cfg.fc_units, dtype=compute_dtype)
 
-        # fused Pallas field kernel: replaces the XLA MLP for the SIREN
-        # variants on TPU (not the mapped 'nerf' variant, and not on CPU
-        # where only interpret mode exists)
+        # fused Pallas field kernels: replace the XLA MLP on TPU for all
+        # three variants (not on CPU, where only interpret mode exists)
         self.use_fused = cfg.fused == "on" or (
-            cfg.fused == "auto"
-            and cfg.model in ("s-nerf", "sat-nerf")
-            and jax.default_backend() not in ("cpu",)
+            cfg.fused == "auto" and jax.default_backend() not in ("cpu",)
         )
-        if self.use_fused:
+        if self.use_fused and cfg.model in ("s-nerf", "sat-nerf"):
             from satnerf_tpu.ops.pallas.fused_mlp import fused_field_apply
 
             def fused_apply(params, xyz, view_dir, sun_dir, t_embed,
@@ -108,6 +105,18 @@ class NeRFSystem:
                     layers=_cfg.fc_layers, feat=_cfg.fc_units, skip=4,
                     use_beta=(_cfg.model == "sat-nerf"),
                     tau=_cfg.t_embbeding_tau, dtype=_dtype,
+                )
+
+            self.field_fns = {k: fused_apply for k in self.models}
+        elif self.use_fused and cfg.model == "nerf":
+            from satnerf_tpu.ops.pallas.fused_nerf import fused_nerf_apply
+
+            def fused_apply(params, xyz, view_dir, sun_dir, t_embed,
+                            _cfg=cfg, _dtype=compute_dtype):
+                return fused_nerf_apply(
+                    params, xyz, view_dir,
+                    layers=_cfg.fc_layers, feat=_cfg.fc_units, skip=4,
+                    dtype=_dtype,
                 )
 
             self.field_fns = {k: fused_apply for k in self.models}
