@@ -53,7 +53,8 @@ def albedo_field(lon, lat):
 
 def build_synthetic_dataset(root: str, n_train: int = 3, n_test: int = 2,
                             w: int = 32, h: int = 32, seed: int = 0,
-                            with_keypoints: bool = False, n_kp: int = 40):
+                            with_keypoints: bool = False, n_kp: int = 40,
+                            view_spread: float = 0.05):
     """Write a reference-format dataset: per-image json + tif + splits.
 
     with_keypoints adds bundle-adjustment-style depth supervision data:
@@ -77,8 +78,8 @@ def build_synthetic_dataset(root: str, n_train: int = 3, n_test: int = 2,
         np.save(os.path.join(root, "pts3d.npy"), pts3d)
 
     for i in range(n_total):
-        dx = rng.uniform(-0.05, 0.05)
-        dy = rng.uniform(-0.05, 0.05)
+        dx = rng.uniform(-view_spread, view_spread)
+        dy = rng.uniform(-view_spread, view_spread)
         project, lon_r, lat_r = make_camera(dx, dy, w, h)
         rpc = fit_rpc_from_projection(project, lon_r, lat_r,
                                       (ALT_MIN, ALT_MAX), w, h)

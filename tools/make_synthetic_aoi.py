@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--n_train", type=int, default=3)
     ap.add_argument("--n_test", type=int, default=2)
     ap.add_argument("--size", type=int, default=32)
+    ap.add_argument("--view_spread", type=float, default=0.05,
+                    help="off-nadir parallax in px per meter of altitude")
     args = ap.parse_args()
 
     from fixtures import AOI_LAT, AOI_LON, build_synthetic_dataset, height_field
@@ -36,7 +38,8 @@ def main():
     data_dir = os.path.join(args.out_dir, "data")
     gt_dir = os.path.join(args.out_dir, "gt")
     build_synthetic_dataset(data_dir, n_train=args.n_train, n_test=args.n_test,
-                            w=args.size, h=args.size)
+                            w=args.size, h=args.size,
+                            view_spread=args.view_spread)
 
     os.makedirs(gt_dir, exist_ok=True)
     lons = np.linspace(AOI_LON - 0.002, AOI_LON + 0.002, 400)
