@@ -162,3 +162,28 @@ class TestDsmRaster:
         filled = np.isfinite(dsm[:, :, 0])
         assert filled.sum() == 9  # 3x3 neighborhood
         np.testing.assert_allclose(dsm[np.where(filled)], 8.0)
+
+
+class TestDownscale:
+    def test_img_downscale_halves_grid_and_rescales_rpc(self, sat_root):
+        ds1 = SatelliteScene(sat_root, split="train")
+        ds2 = SatelliteScene(sat_root, split="train", img_downscale=2.0)
+        assert len(ds2) == len(ds1) // 4
+        # the downscaled ray through pixel (c, r) must match the full-res ray
+        # through pixel (2c, 2r): same chord endpoints up to RPC fit noise
+        n_side = 12  # 24 // 2
+        r1 = ds1.all_rays.reshape(3, 24, 24, 11)
+        r2 = ds2.all_rays.reshape(3, 12, 12, 11)
+        np.testing.assert_allclose(
+            r2[0, 3, 5, :3], r1[0, 6, 10, :3], atol=1e-4
+        )
+        np.testing.assert_allclose(
+            r2[0, 3, 5, 3:6], r1[0, 6, 10, 3:6], atol=1e-5
+        )
+
+    def test_val_split_downscale_dims(self, sat_root):
+        ds = SatelliteScene(sat_root, split="val", img_downscale=2.0)
+        s = ds.load_image(0)
+        assert s["h"] == s["w"] == 12
+        assert s["rays"].shape == (144, 11)
+        assert s["rgbs"].shape == (144, 3)
