@@ -320,30 +320,14 @@ def _make_fwd_kernel(layers, skip, use_beta, rgb_padding, dtype):
 # ---------------------------------------------------------- backward kernel
 
 
-def _make_bwd_kernel(layers, skip, use_beta, rgb_padding, dtype):
-    n_w = len([k for k in _PACKED_ORDER
-               if use_beta or not k.startswith(("Wbeta", "bbeta"))])
-
-    def kernel(in_ref, g_ref, *refs):
-        # refs = weight refs (n_w) + outputs: din_ref + grad refs (n_w)
-        names = [k for k in _PACKED_ORDER
-                 if use_beta or not k.startswith(("Wbeta", "bbeta"))]
-        w = {k: r[...] for k, r in zip(names, refs[:n_w])}
-        din_ref = refs[n_w]
-        grad_refs = {k: r for k, r in zip(names, refs[n_w + 1:])}
-
-        step = pl.program_id(0)
-
-        @pl.when(step == 0)
-        def _init():
-            for k in names:
-                grad_refs[k][...] = jnp.zeros(
-                    grad_refs[k].shape, grad_refs[k].dtype
-                )
-
-        xin = in_ref[...]
+def _point_bwd_body(xin, g, w, grad_refs, layers, skip, use_beta,
+                    rgb_padding, dtype):
+    """Shared backward body: recompute forward for a tile of point inputs,
+    accumulate all weight grads into the resident refs, return the per-point
+    input cotangent (N, IN_COLS). Used by both the point-mode and ray-mode
+    backward kernels."""
+    if True:
         xb = xin.astype(dtype)
-        g = g_ref[...]
 
         # ---- forward recompute with residuals
         trunk_save = [None] * layers
@@ -458,7 +442,147 @@ def _make_bwd_kernel(layers, skip, use_beta, rgb_padding, dtype):
         grad_refs["bt"][0] += jnp.sum(d_pre0, axis=0)
         d_in += _dot_t_rhs(d_pre0.astype(dtype), w["A"])
 
-        din_ref[...] = d_in
+        return d_in
+
+
+def _make_bwd_kernel(layers, skip, use_beta, rgb_padding, dtype):
+    n_w = len([k for k in _PACKED_ORDER
+               if use_beta or not k.startswith(("Wbeta", "bbeta"))])
+
+    def kernel(in_ref, g_ref, *refs):
+        # refs = weight refs (n_w) + outputs: din_ref + grad refs (n_w)
+        names = [k for k in _PACKED_ORDER
+                 if use_beta or not k.startswith(("Wbeta", "bbeta"))]
+        w = {k: r[...] for k, r in zip(names, refs[:n_w])}
+        din_ref = refs[n_w]
+        grad_refs = {k: r for k, r in zip(names, refs[n_w + 1:])}
+
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            for k in names:
+                grad_refs[k][...] = jnp.zeros(
+                    grad_refs[k].shape, grad_refs[k].dtype
+                )
+
+        din_ref[...] = _point_bwd_body(in_ref[...], g_ref[...], w, grad_refs,
+                                       layers, skip, use_beta, rgb_padding,
+                                       dtype)
+
+    return kernel
+
+
+
+
+# ----------------------------------------------------- ray-mode entry points
+#
+# The point-mode API above receives pre-expanded (N, 16) per-point inputs,
+# which makes XLA materialize xyz = o + d*z, the sun/t broadcasts, and the
+# packed x_in (plus their transposes in the backward) — ~N*16 floats of HBM
+# traffic each way per step. Ray mode moves the expansion inside the kernel:
+# inputs are per-RAY [(R, 16) rays + (R, S) depths], 65x smaller, and the
+# sample expansion happens in VMEM.
+
+
+def _expand_rays(rays, z, tau):
+    """(R, 16) rays + (R, S) depths -> (R*S, 16) point inputs.
+
+    Ray layout: [o(0:3) | d(3:6) | sun(6:9) | t(9:9+tau)];
+    point layout (what the trunk/heads expect): [xyz(0:3) | sun(3:6) | t(6:6+tau)].
+
+    Mosaic supports neither 3D broadcasts nor sublane<->lane relayouts, so the
+    expansion is an unrolled per-ray build: transpose the depth block on the
+    MXU (identity-matmul — the only relayout-free transpose), then broadcast
+    each ray's row over the sample axis and scale by its depth column,
+    stacking ray blocks along sublanes — ray-major point order, matching the
+    output block layout.
+    """
+    r, s = z.shape
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)).astype(jnp.float32)
+    z_t = jax.lax.dot_general(eye, z, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (S, R)
+    blocks = []
+    for ri in range(r):
+        row = rays[ri : ri + 1]  # (1, 16)
+        o_b = jnp.broadcast_to(row[:, 0:3], (s, 3))
+        d_b = jnp.broadcast_to(row[:, 3:6], (s, 3))
+        rest = jnp.broadcast_to(
+            jnp.concatenate(
+                [row[:, 6 : 9 + tau],
+                 jnp.zeros((1, IN_COLS - 9 - tau + 3), jnp.float32)], axis=-1
+            ),
+            (s, IN_COLS - 3),
+        )
+        xyz = o_b + d_b * z_t[:, ri : ri + 1]
+        blocks.append(jnp.concatenate([xyz, rest], axis=-1))
+    return jnp.concatenate(blocks, axis=0)
+
+
+def _make_fwd_kernel_rays(layers, skip, use_beta, rgb_padding, dtype, tau):
+    def kernel(rays_ref, z_ref, *w_refs):
+        out_ref = w_refs[-1]
+        names = [k for k in _PACKED_ORDER
+                 if use_beta or not k.startswith(("Wbeta", "bbeta"))]
+        w = {k: r[...] for k, r in zip(names, w_refs[:-1])}
+        xin = _expand_rays(rays_ref[...], z_ref[...], tau)
+        h = _trunk_fwd(xin, (w["A"], w["B"], w["C"], w["bt"]), layers, skip,
+                       dtype)
+        rgb, sigma, sunv, sky, beta = _heads_fwd(
+            xin, h, w, use_beta, rgb_padding, dtype
+        )
+        t_rows = xin.shape[0]
+        beta_col = beta if use_beta else jnp.zeros((t_rows, 1), jnp.float32)
+        out_ref[...] = jnp.concatenate(
+            [rgb, sigma, sunv, sky, beta_col,
+             jnp.zeros((t_rows, OUT_COLS - 9), jnp.float32)], axis=-1
+        )
+
+    return kernel
+
+
+def _make_bwd_kernel_rays(layers, skip, use_beta, rgb_padding, dtype, tau,
+                          point_bwd):
+    """Wrap the point-mode backward body: expand rays in-kernel, run the
+    shared backprop, reduce the per-point input cotangent to per-ray t grads."""
+
+    def kernel(rays_ref, z_ref, g_ref, *refs):
+        names = [k for k in _PACKED_ORDER
+                 if use_beta or not k.startswith(("Wbeta", "bbeta"))]
+        n_w = len(names)
+        w = {k: r[...] for k, r in zip(names, refs[:n_w])}
+        din_ref = refs[n_w]
+        grad_refs = {k: r for k, r in zip(names, refs[n_w + 1:])}
+
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            for k in names:
+                grad_refs[k][...] = jnp.zeros(
+                    grad_refs[k].shape, grad_refs[k].dtype
+                )
+
+        z = z_ref[...]
+        r_rows, s = z.shape
+        xin = _expand_rays(rays_ref[...], z, tau)
+        g = g_ref[...]
+        d_in = point_bwd(xin, g, w, grad_refs, layers, skip, use_beta,
+                         rgb_padding, dtype)
+        # only the t-embedding input is trainable: per-ray grad = sum of the
+        # ray's per-sample cotangents (a sublane-slice reduction per ray)
+        rows = []
+        for ri in range(r_rows):
+            rows.append(jnp.sum(
+                d_in[ri * s : (ri + 1) * s, 6 : 6 + tau], axis=0,
+                keepdims=True,
+            ))
+        d_t = jnp.concatenate(rows, axis=0)
+        din_ref[...] = jnp.concatenate(
+            [jnp.zeros((r_rows, 9), jnp.float32), d_t,
+             jnp.zeros((r_rows, IN_COLS - 9 - tau), jnp.float32)], axis=-1
+        )
 
     return kernel
 
@@ -606,4 +730,151 @@ def fused_field_apply(params: dict, xyz, sun_dir=None, t_embed=None, *,
     }
     if use_beta:
         res["beta"] = out[:, 8:9].reshape(*lead, 1)
+    return res
+
+
+# ------------------------------------------------------- ray-mode public API
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def fused_field_rays_packed(packed_list, rays16, z, layers, skip, use_beta,
+                            rgb_padding, dtype, tau):
+    """(packed weights, (R, 16) rays, (R, S) depths) -> (R*S, 16) outputs."""
+    return _fused_forward_rays(packed_list, rays16, z, layers, skip, use_beta,
+                               rgb_padding, dtype, tau)
+
+
+def _ray_tile(s: int) -> int:
+    return max(8, TILE // s)
+
+
+def _fused_forward_rays(packed_list, rays16, z, layers, skip, use_beta,
+                        rgb_padding, dtype, tau):
+    r, s = z.shape
+    tile_r = _ray_tile(s)
+    r_pad = ((r + tile_r - 1) // tile_r) * tile_r
+    if r_pad != r:
+        rays16 = jnp.pad(rays16, ((0, r_pad - r), (0, 0)))
+        z = jnp.pad(z, ((0, r_pad - r), (0, 0)))
+    kernel = _make_fwd_kernel_rays(layers, skip, use_beta, rgb_padding, dtype,
+                                   tau)
+    w_specs = [
+        pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for p in packed_list
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(r_pad // tile_r,),
+        in_specs=[
+            pl.BlockSpec((tile_r, IN_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_r, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec((tile_r * s, OUT_COLS), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r_pad * s, OUT_COLS), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(rays16, z, *packed_list)
+    return out[: r * s]
+
+
+def _rays_vjp_fwd(packed_list, rays16, z, layers, skip, use_beta, rgb_padding,
+                  dtype, tau):
+    out = _fused_forward_rays(packed_list, rays16, z, layers, skip, use_beta,
+                              rgb_padding, dtype, tau)
+    return out, (packed_list, rays16, z)
+
+
+def _rays_vjp_bwd(layers, skip, use_beta, rgb_padding, dtype, tau, residuals,
+                  g):
+    packed_list, rays16, z = residuals
+    r, s = z.shape
+    tile_r = max(8, BWD_TILE // s)
+    r_pad = ((r + tile_r - 1) // tile_r) * tile_r
+    if r_pad != r:
+        rays16 = jnp.pad(rays16, ((0, r_pad - r), (0, 0)))
+        z = jnp.pad(z, ((0, r_pad - r), (0, 0)))
+        g = jnp.pad(g, ((0, (r_pad - r) * s), (0, 0)))
+
+    kernel = _make_bwd_kernel_rays(layers, skip, use_beta, rgb_padding, dtype,
+                                   tau, _point_bwd_body)
+    w_specs = [
+        pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for p in packed_list
+    ]
+    grad_specs = [
+        pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for p in packed_list
+    ]
+    din, *grads = pl.pallas_call(
+        kernel,
+        grid=(r_pad // tile_r,),
+        in_specs=[
+            pl.BlockSpec((tile_r, IN_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_r, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_r * s, OUT_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_r, IN_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *grad_specs,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_pad, IN_COLS), jnp.float32),
+            *(jax.ShapeDtypeStruct(p.shape, jnp.float32)
+              for p in packed_list),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024
+        ),
+    )(rays16, z, g, *packed_list)
+    grads = [gr.astype(p.dtype) for gr, p in zip(grads, packed_list)]
+    # z gets no cotangent (sampling depths are stop-gradient data)
+    return (grads, din[:r], jnp.zeros_like(residuals[2]))
+
+
+fused_field_rays_packed.defvjp(_rays_vjp_fwd, _rays_vjp_bwd)
+
+
+def fused_field_apply_rays(params: dict, rays_o, rays_d, sun_dir, t_embed,
+                           z_vals, *, layers: int = 8, feat: int = 512,
+                           skip: int = 4, use_beta: bool = True,
+                           rgb_padding: float = 0.001, tau: int = 4,
+                           dtype=jnp.bfloat16) -> dict:
+    """Ray-level fused field: expands o + d*z to sample points inside the
+    kernel. Inputs are per-ray (R, 3)/(R, tau) and (R, S) depths; outputs are
+    per-sample dicts shaped (R, S, ...) ready for the compositor."""
+    r, s = z_vals.shape
+    t_part = (t_embed.astype(jnp.float32) if (t_embed is not None and use_beta)
+              else jnp.zeros((r, tau), jnp.float32))
+    rays16 = jnp.concatenate(
+        [rays_o.astype(jnp.float32), rays_d.astype(jnp.float32),
+         (sun_dir.astype(jnp.float32) if sun_dir is not None
+          else jnp.zeros((r, 3), jnp.float32)),
+         t_part, jnp.zeros((r, IN_COLS - 9 - tau), jnp.float32)], axis=-1,
+    )
+    packed = pack_params(params, layers, feat, skip, use_beta, tau, dtype)
+    plist = _order(packed)
+    out = fused_field_rays_packed(plist, rays16, z_vals.astype(jnp.float32),
+                                  layers, skip, use_beta, rgb_padding, dtype,
+                                  tau)
+    res = {
+        "rgb": out[:, 0:3].reshape(r, s, 3),
+        "sigma": out[:, 3].reshape(r, s),
+        "sun_v": out[:, 4:5].reshape(r, s, 1),
+        "sky_rgb": out[:, 5:8].reshape(r, s, 3),
+    }
+    if use_beta:
+        res["beta"] = out[:, 8:9].reshape(r, s, 1)
     return res

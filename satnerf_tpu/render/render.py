@@ -38,31 +38,44 @@ class RenderConfig:
         return self.variant in ("s-nerf", "sat-nerf")
 
 
-def _run_field(model, params, xyz, rays_d, sun_d, t_embed, z_vals, noise_key,
-               noise_std, shadow: bool):
-    """Apply the field at (N, S, 3) points and composite to per-ray outputs.
+def _run_field(model, params, rays_o, march_d, rays_d, sun_d, t_embed,
+               z_vals, noise_key, noise_std, shadow: bool):
+    """Sample the field along rays (origins + march direction + depths) and
+    composite to per-ray outputs.
 
-    `model` is either a flax module (RadianceField) or a bare callable
-    `(params, xyz, view_dir, sun_dir, t_embed) -> dict` — the hook through
-    which the fused Pallas kernel replaces the XLA MLP (ops/pallas/fused_mlp).
+    `model` is one of:
+      * a flax module (RadianceField) — points are expanded here;
+      * a callable `(params, xyz, view_dir, sun_dir, t_embed) -> dict`
+        (point-mode fused kernel);
+      * a callable with `.ray_mode = True`:
+        `(params, rays_o, march_d, sun_d, t_embed, z_vals) -> dict` — the
+        sample expansion o + d*z happens inside the kernel
+        (ops/pallas/fused_mlp.fused_field_apply_rays).
     """
-    n_rays, n_s, _ = xyz.shape
-    view_dir = (
-        None if rays_d is None else jnp.broadcast_to(rays_d[:, None, :], xyz.shape)
-    )
-    sun_dir = (
-        None if sun_d is None else jnp.broadcast_to(sun_d[:, None, :], xyz.shape)
-    )
-    t_e = (
-        None
-        if t_embed is None
-        else jnp.broadcast_to(t_embed[:, None, :], (n_rays, n_s, t_embed.shape[-1]))
-    )
-    if hasattr(model, "apply"):
-        out = model.apply({"params": params}, xyz, view_dir=view_dir,
-                          sun_dir=sun_dir, t_embed=t_e)
+    if getattr(model, "ray_mode", False):
+        out = model(params, rays_o, march_d, sun_d, t_embed, z_vals)
     else:
-        out = model(params, xyz, view_dir, sun_dir, t_e)
+        xyz = rays_o[:, None, :] + march_d[:, None, :] * z_vals[:, :, None]
+        n_rays, n_s, _ = xyz.shape
+        view_dir = (
+            None if rays_d is None
+            else jnp.broadcast_to(rays_d[:, None, :], xyz.shape)
+        )
+        sun_dir = (
+            None if sun_d is None
+            else jnp.broadcast_to(sun_d[:, None, :], xyz.shape)
+        )
+        t_e = (
+            None
+            if t_embed is None
+            else jnp.broadcast_to(t_embed[:, None, :],
+                                  (n_rays, n_s, t_embed.shape[-1]))
+        )
+        if hasattr(model, "apply"):
+            out = model.apply({"params": params}, xyz, view_dir=view_dir,
+                              sun_dir=sun_dir, t_embed=t_e)
+        else:
+            out = model(params, xyz, view_dir, sun_dir, t_e)
     noise = None
     if noise_std is not None:
         noise = noise_std * jax.random.normal(noise_key, out["sigma"].shape,
@@ -90,20 +103,19 @@ def render_rays(models: dict, params: dict, rays, t_embed, key, cfg: RenderConfi
 
     z_vals = stratified_zvals(k_z, near, far, cfg.n_samples, cfg.perturb,
                               cfg.use_disp)
-    xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[:, :, None]
 
     use_dirs = cfg.variant == "nerf"
     result = _run_field(
-        models["coarse"], params["coarse"], xyz,
+        models["coarse"], params["coarse"], rays_o, rays_d,
         rays_d if use_dirs else None, sun_d, t_embed, z_vals,
         k_noise, noise_std, cfg.shadow,
     )
     if cfg.shadow and cfg.solar_correction:
         # secondary pass along SUN rays (rendering.py:90-108): supervises the
         # sun-visibility head against the sun-direction transparency
-        xyz_sc = rays_o[:, None, :] + sun_d[:, None, :] * z_vals[:, :, None]
-        sc = _run_field(models["coarse"], params["coarse"], xyz_sc, None, sun_d,
-                        t_embed, z_vals, k_sc1, noise_std, cfg.shadow)
+        sc = _run_field(models["coarse"], params["coarse"], rays_o, sun_d,
+                        None, sun_d, t_embed, z_vals, k_sc1, noise_std,
+                        cfg.shadow)
         result["weights_sc"] = sc["weights"]
         result["transparency_sc"] = sc["transparency"]
         result["sun_sc"] = sc["sun"]
@@ -116,17 +128,16 @@ def render_rays(models: dict, params: dict, rays, t_embed, key, cfg: RenderConfi
                             cfg.n_importance, det=(cfg.perturb == 0))
         z_fine = jax.lax.stop_gradient(z_fine)
         z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1), axis=-1)
-        xyz_f = rays_o[:, None, :] + rays_d[:, None, :] * z_all[:, :, None]
 
         fine = _run_field(
-            models["fine"], params["fine"], xyz_f,
+            models["fine"], params["fine"], rays_o, rays_d,
             rays_d if use_dirs else None, sun_d, t_embed, z_all,
             k_fine_noise, noise_std, cfg.shadow,
         )
         if cfg.shadow and cfg.solar_correction:
-            xyz_sc = rays_o[:, None, :] + sun_d[:, None, :] * z_all[:, :, None]
-            sc = _run_field(models["fine"], params["fine"], xyz_sc, None, sun_d,
-                            t_embed, z_all, k_sc2, noise_std, cfg.shadow)
+            sc = _run_field(models["fine"], params["fine"], rays_o, sun_d,
+                            None, sun_d, t_embed, z_all, k_sc2, noise_std,
+                            cfg.shadow)
             fine["weights_sc"] = sc["weights"]
             fine["transparency_sc"] = sc["transparency"]
             fine["sun_sc"] = sc["sun"]

@@ -96,6 +96,12 @@ class NeRFSystem:
             cfg.fused == "auto" and jax.default_backend() not in ("cpu",)
         )
         if self.use_fused and cfg.model in ("s-nerf", "sat-nerf"):
+            # point-mode kernel: the ray-mode variant (expansion o + d*z
+            # inside the kernel, fused_field_apply_rays) is implemented and
+            # gradient-tested but Mosaic cannot yet lower any of its
+            # expansion formulations (3D broadcasts, sublane/lane relayouts,
+            # and offset-carrying sublane concats are all unsupported) —
+            # revisit when Mosaic grows relayout support.
             from satnerf_tpu.ops.pallas.fused_mlp import fused_field_apply
 
             def fused_apply(params, xyz, view_dir, sun_dir, t_embed,

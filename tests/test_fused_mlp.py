@@ -123,3 +123,70 @@ class TestPacking:
             assert sub["Dense_0"]["kernel"].shape == (
                 params[name]["Dense_0"]["kernel"].shape
             ), name
+
+
+class TestRayMode:
+    def test_forward_matches_point_mode(self):
+        m, params, xyz, sun, t_e = _setup(N=0)
+        rng = np.random.RandomState(3)
+        R, S = 10, 8
+        rays_o = jnp.array(rng.randn(R, 3).astype(np.float32) * 0.2)
+        rays_d = jnp.array(rng.randn(R, 3).astype(np.float32))
+        rays_d = rays_d / jnp.linalg.norm(rays_d, axis=1, keepdims=True)
+        sun_d = jnp.array(rng.randn(R, 3).astype(np.float32))
+        t_r = jnp.array(rng.randn(R, 4).astype(np.float32))
+        z = jnp.array(np.sort(rng.rand(R, S).astype(np.float32), -1))
+
+        xyz_pts = rays_o[:, None, :] + rays_d[:, None, :] * z[:, :, None]
+        sun_pts = jnp.broadcast_to(sun_d[:, None, :], (R, S, 3))
+        t_pts = jnp.broadcast_to(t_r[:, None, :], (R, S, 4))
+
+        with pltpu.force_tpu_interpret_mode():
+            ref = FM.fused_field_apply(params, xyz_pts, sun_pts, t_pts,
+                                       layers=8, feat=32, dtype=jnp.float32)
+            out = FM.fused_field_apply_rays(params, rays_o, rays_d, sun_d,
+                                            t_r, z, layers=8, feat=32,
+                                            dtype=jnp.float32)
+        for k in ("rgb", "sigma", "sun_v", "sky_rgb", "beta"):
+            np.testing.assert_allclose(out[k], ref[k], atol=1e-5, err_msg=k)
+
+    def test_grads_match_point_mode(self):
+        m, params, *_ = _setup(N=0)
+        rng = np.random.RandomState(4)
+        R, S = 10, 8
+        rays_o = jnp.array(rng.randn(R, 3).astype(np.float32) * 0.2)
+        rays_d = jnp.array(rng.randn(R, 3).astype(np.float32))
+        rays_d = rays_d / jnp.linalg.norm(rays_d, axis=1, keepdims=True)
+        sun_d = jnp.array(rng.randn(R, 3).astype(np.float32))
+        t_r = jnp.array(rng.randn(R, 4).astype(np.float32))
+        z = jnp.array(np.sort(rng.rand(R, S).astype(np.float32), -1))
+
+        def loss_rays(p, t):
+            o = FM.fused_field_apply_rays(p, rays_o, rays_d, sun_d, t, z,
+                                          layers=8, feat=32, dtype=jnp.float32)
+            return (o["rgb"].sum() + 2 * o["sigma"].sum() + o["beta"].sum()
+                    + 3 * o["sun_v"].sum())
+
+        def loss_pts(p, t):
+            xyz_pts = rays_o[:, None, :] + rays_d[:, None, :] * z[:, :, None]
+            sun_pts = jnp.broadcast_to(sun_d[:, None, :], (R, S, 3))
+            t_pts = jnp.broadcast_to(t[:, None, :], (R, S, 4))
+            o = FM.fused_field_apply(p, xyz_pts, sun_pts, t_pts, layers=8,
+                                     feat=32, dtype=jnp.float32)
+            return (o["rgb"].sum() + 2 * o["sigma"].sum() + o["beta"].sum()
+                    + 3 * o["sun_v"].sum())
+
+        with pltpu.force_tpu_interpret_mode():
+            g_r = jax.grad(loss_rays, argnums=(0, 1))(params, t_r)
+            g_p = jax.grad(loss_pts, argnums=(0, 1))(params, t_r)
+
+        for path, a in jax.tree_util.tree_leaves_with_path(g_p[0]):
+            b = g_r[0]
+            for p in path:
+                b = b[p.key]
+            scale = max(float(jnp.abs(a).max()), 1e-6)
+            np.testing.assert_allclose(np.asarray(b) / scale,
+                                       np.asarray(a) / scale, atol=1e-5,
+                                       err_msg=jax.tree_util.keystr(path))
+        # t_embed input grads
+        np.testing.assert_allclose(g_r[1], g_p[1], atol=1e-5)
