@@ -28,6 +28,7 @@ STEPS = int(os.environ.get("BENCH_STEPS", 20))
 MODEL = os.environ.get("BENCH_MODEL", "sat-nerf")
 PRECISION = os.environ.get("BENCH_PRECISION", "bfloat16")
 FUSED = os.environ.get("BENCH_FUSED", "auto")
+MODE = os.environ.get("BENCH_MODE", "train")  # train | render
 
 
 def main():
@@ -54,6 +55,32 @@ def main():
     ts = rng.randint(0, 30, n).astype(np.int32)
     _, (r, g, t) = shard_rays(mesh, rays, rgbs, ts)
     data = {"rays": r, "rgbs": g, "ts": t}
+
+    if MODE == "render":
+        # novel-view-synthesis serving throughput: forward render only,
+        # sharded across the mesh like eval/DSM grids
+        render = system.make_eval_render()
+        import jax.numpy as jnp
+
+        r = jnp.asarray(rays[:BATCH])
+        t = jnp.asarray(ts[:BATCH])
+        k = jax.random.PRNGKey(1)
+        out = render(state.params, r, t, k)
+        float(out["rgb_coarse"].sum())
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            out = render(state.params, r, t, k)
+            jax.block_until_ready(out["rgb_coarse"])
+        float(out["rgb_coarse"].sum())
+        dt = time.perf_counter() - t0
+        per_chip = BATCH * STEPS / dt / n_chips
+        print(json.dumps({
+            "metric": "render_rays_per_sec_per_chip",
+            "value": round(per_chip, 1),
+            "unit": "rays/s",
+            "vs_baseline": round(per_chip / 5e6, 4),
+        }))
+        return
 
     step = system.make_train_step()
     key = jax.random.PRNGKey(1)
