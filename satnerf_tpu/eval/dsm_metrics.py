@@ -101,6 +101,14 @@ def dsm_pointwise_diff(in_dsm_path: str, gt_dsm_path: str, dsm_metadata,
     return err
 
 
+def dsm_mae(in_dsm_path: str, gt_dsm_path: str, dsm_metadata,
+            gt_mask_path: Optional[str] = None) -> float:
+    """nanmean absolute registered error (sat_utils.py:221-223)."""
+    diff = dsm_pointwise_diff(in_dsm_path, gt_dsm_path, dsm_metadata,
+                              gt_mask_path=gt_mask_path)
+    return float(np.nanmean(np.abs(diff.ravel())))
+
+
 def compute_mae_and_save_dsm_diff(pred_dsm_path: str, src_id: str, gt_dir: str,
                                   out_dir: str, epoch_number: int,
                                   save: bool = True) -> float:
