@@ -37,10 +37,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 1024       # forward tile (points per grid step)
-BWD_TILE = 2048   # backward tile: deeper K for the weight-grad matmuls;
-                  # the recompute's resident set just fits the 127 MB VMEM
-                  # budget at this tile (measured fastest: 140 ms vs 146 at
-                  # 1024 for 1M points fwd+bwd)
+BWD_TILE = 2048   # backward tile: deeper K for the weight-grad matmuls
+                  # (4096 overflows VMEM even with compute-dtype residuals —
+                  # the working set of live d_h/d_pre tensors dominates)
 IN_COLS = 16
 OUT_COLS = 16
 
@@ -63,6 +62,7 @@ _COS_C = (9.99999444e-01, -4.99995582e-01, 4.16610335e-02,
 
 
 def fast_sin(x):
+    x = x.astype(jnp.float32)  # Mosaic has no bf16 roundeven lowering
     y = x - _TWO_PI * jnp.round(x * _INV_TWO_PI)
     y2 = y * y
     p = _SIN_C[4]
@@ -72,6 +72,7 @@ def fast_sin(x):
 
 
 def fast_cos(x):
+    x = x.astype(jnp.float32)  # Mosaic has no bf16 roundeven lowering
     y = x - _TWO_PI * jnp.round(x * _INV_TWO_PI)
     y2 = y * y
     p = _COS_C[5]
@@ -237,6 +238,9 @@ def _trunk_fwd(xin, refs, layers, skip, dtype, save=None):
     xb = xin.astype(dtype)
     pre = _dot(xb, A) + bt[0][None, :]
     if save is not None:
+        # residuals stay f32: Mosaic lacks bf16 lowerings for the comparisons
+        # and rounds the backward needs, so compute-dtype residuals (which
+        # would allow BWD_TILE=4096) are not currently expressible
         save[0] = (30.0 * fast_cos(30.0 * pre), None)
     h = fast_sin(30.0 * pre)
     for l in range(1, layers):
