@@ -132,3 +132,31 @@ class TestBlenderSmokeTrain:
             last = float(m["loss"])
         assert np.isfinite(last)
         assert last < first, (first, last)
+
+
+class TestOccPerturbation:
+    def test_occ_draws_rectangles(self):
+        """The occluders live at pixels 200-400 of the ORIGINAL image
+        (blender.py:69-78 hardcodes NeRF's 800px frames), so test the
+        primitive directly on a full-size canvas."""
+        from satnerf_tpu.data.blender import add_perturbation
+
+        img = Image.new("RGB", (800, 800), (255, 255, 255))
+        out = add_perturbation(img, ("occ",), seed=3)
+        arr = np.array(out)
+        changed = (arr != 255).any(axis=-1)
+        assert changed.any()
+        # all changes confined to the occluder band
+        rows, cols = np.nonzero(changed)
+        assert rows.min() >= 200 and cols.min() >= 200
+        assert rows.max() <= 600 and cols.max() <= 600
+
+    def test_occ_deterministic_per_seed(self):
+        from satnerf_tpu.data.blender import add_perturbation
+
+        img = Image.new("RGB", (800, 800), (255, 255, 255))
+        a = np.array(add_perturbation(img.copy(), ("occ",), seed=5))
+        b = np.array(add_perturbation(img.copy(), ("occ",), seed=5))
+        c = np.array(add_perturbation(img.copy(), ("occ",), seed=6))
+        np.testing.assert_array_equal(a, b)
+        assert (a != c).any()
