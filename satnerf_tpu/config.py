@@ -65,7 +65,8 @@ class Config:
     seed: int = 0
     n_devices: int = 0  # 0 = all visible devices; rays are sharded across them
     precision: str = "float32"  # float32 | bfloat16 (matmul inputs)
-    fused: str = "auto"  # auto | on | off — fused Pallas field kernel
+    fused: str = "auto"  # auto | on | rays | off — fused Pallas field kernel
+    # ("rays" additionally moves the o+d*z sample expansion into the kernel)
     log_every_n_steps: int = 100
     profile_dir: Optional[str] = None  # write a jax.profiler trace of steps 20-30
     val_every_n_epochs: int = 1
@@ -139,7 +140,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--precision", type=str, default=d.precision,
                    choices=["float32", "bfloat16"])
     p.add_argument("--fused", type=str, default=d.fused,
-                   choices=["auto", "on", "off"])
+                   choices=["auto", "on", "rays", "off"])
     p.add_argument("--log_every_n_steps", type=int, default=d.log_every_n_steps)
     p.add_argument("--profile_dir", type=str, default=d.profile_dir)
     p.add_argument("--val_every_n_epochs", type=int, default=d.val_every_n_epochs)

@@ -36,7 +36,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 1024       # forward tile (points per grid step)
+TILE = 1024       # forward tile (points per grid step; 2048 benches 2% slower)
 BWD_TILE = 2048   # backward tile: deeper K for the weight-grad matmuls
                   # (4096 overflows VMEM even with compute-dtype residuals —
                   # the working set of live d_h/d_pre tensors dominates)
@@ -490,39 +490,58 @@ def _make_bwd_kernel(layers, skip, use_beta, rgb_padding, dtype):
 # sample expansion happens in VMEM.
 
 
+def _ray_selector(r, s):
+    """(R*S, R) 0/1 matrix: Sel[q, j] = 1 iff point q belongs to ray j
+    (ray-major point order q = j*S + s). Built from iota compares only —
+    no division, so any S works."""
+    p = r * s
+    qi = jax.lax.broadcasted_iota(jnp.int32, (p, r), 0)
+    ji = jax.lax.broadcasted_iota(jnp.int32, (p, r), 1)
+    lo = ji * s
+    return ((qi >= lo) & (qi < lo + s)).astype(jnp.float32)
+
+
 def _expand_rays(rays, z, tau):
     """(R, 16) rays + (R, S) depths -> (R*S, 16) point inputs.
 
     Ray layout: [o(0:3) | d(3:6) | sun(6:9) | t(9:9+tau)];
     point layout (what the trunk/heads expect): [xyz(0:3) | sun(3:6) | t(6:6+tau)].
 
-    Mosaic supports neither 3D broadcasts nor sublane<->lane relayouts, so the
-    expansion is an unrolled per-ray build: transpose the depth block on the
-    MXU (identity-matmul — the only relayout-free transpose), then broadcast
-    each ray's row over the sample axis and scale by its depth column,
-    stacking ray blocks along sublanes — ray-major point order, matching the
-    output block layout.
+    Mosaic supports neither 3D broadcasts, sublane<->lane relayouts, nor
+    sublane concats — every direct formulation of the expansion fails to
+    lower (commit history). This one needs none of them: the ray->point
+    broadcast is an MXU matmul against an iota-built 0/1 selection matrix,
+    the per-point depth is a masked lane reduction of Sel @ z, and the
+    ray->point column remap is a matmul against constant lane-shift
+    matrices. Matmuls, iotas, compares, and (P,1) lane broadcasts are all
+    Mosaic-supported.
     """
     r, s = z.shape
-    eye = (jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-           == jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)).astype(jnp.float32)
-    z_t = jax.lax.dot_general(eye, z, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # (S, R)
-    blocks = []
-    for ri in range(r):
-        row = rays[ri : ri + 1]  # (1, 16)
-        o_b = jnp.broadcast_to(row[:, 0:3], (s, 3))
-        d_b = jnp.broadcast_to(row[:, 3:6], (s, 3))
-        rest = jnp.broadcast_to(
-            jnp.concatenate(
-                [row[:, 6 : 9 + tau],
-                 jnp.zeros((1, IN_COLS - 9 - tau + 3), jnp.float32)], axis=-1
-            ),
-            (s, IN_COLS - 3),
-        )
-        xyz = o_b + d_b * z_t[:, ri : ri + 1]
-        blocks.append(jnp.concatenate([xyz, rest], axis=-1))
-    return jnp.concatenate(blocks, axis=0)
+    p = r * s
+    sel = _ray_selector(r, s)                                    # (P, R)
+    rb = _dot(sel, rays)                                         # (P, 16)
+    z_rows = _dot(sel, z)                                        # (P, S)
+
+    # per-point sample index s(q) = q - r(q)*s, then pick z[r(q), s(q)]
+    # (integer iotas only: Mosaic's tpu.iota has no float result type)
+    ji = jax.lax.broadcasted_iota(jnp.int32, (p, r), 1)
+    r_col = jnp.sum(sel.astype(jnp.int32) * ji, axis=1,
+                    keepdims=True)                               # (P, 1)
+    q_col = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    s_col = q_col - s * r_col                                    # (P, 1)
+    si = jax.lax.broadcasted_iota(jnp.int32, (p, s), 1)
+    z_col = jnp.sum(z_rows * (si == s_col).astype(jnp.float32),
+                    axis=1, keepdims=True)                       # (P, 1)
+
+    # lane-shift constants: identity on xyz lanes / move sun+t left by 3 /
+    # move dir onto the xyz lanes (scaled by depth)
+    ri16 = jax.lax.broadcasted_iota(jnp.int32, (IN_COLS, IN_COLS), 0)
+    ci16 = jax.lax.broadcasted_iota(jnp.int32, (IN_COLS, IN_COLS), 1)
+    shift_or = (((ri16 == ci16) & (ri16 < 3))
+                | ((ri16 == ci16 + 3) & (ci16 >= 3)
+                   & (ci16 < 6 + tau))).astype(jnp.float32)
+    shift_d = ((ri16 == ci16 + 3) & (ci16 < 3)).astype(jnp.float32)
+    return _dot(rb, shift_or) + _dot(rb, shift_d) * z_col
 
 
 def _make_fwd_kernel_rays(layers, skip, use_beta, rgb_padding, dtype, tau):
@@ -576,18 +595,16 @@ def _make_bwd_kernel_rays(layers, skip, use_beta, rgb_padding, dtype, tau,
         d_in = point_bwd(xin, g, w, grad_refs, layers, skip, use_beta,
                          rgb_padding, dtype)
         # only the t-embedding input is trainable: per-ray grad = sum of the
-        # ray's per-sample cotangents (a sublane-slice reduction per ray)
-        rows = []
-        for ri in range(r_rows):
-            rows.append(jnp.sum(
-                d_in[ri * s : (ri + 1) * s, 6 : 6 + tau], axis=0,
-                keepdims=True,
-            ))
-        d_t = jnp.concatenate(rows, axis=0)
-        din_ref[...] = jnp.concatenate(
-            [jnp.zeros((r_rows, 9), jnp.float32), d_t,
-             jnp.zeros((r_rows, IN_COLS - 9 - tau), jnp.float32)], axis=-1
-        )
+        # ray's per-sample cotangents = Sel^T @ d_in (an MXU contraction over
+        # the point axis), then remap point cols 6:6+tau to ray cols 9:9+tau
+        # with a constant lane-shift matmul (relayout-free, like _expand_rays)
+        sel = _ray_selector(r_rows, s)
+        d_ray = _dot_t_lhs(sel, d_in)                      # (R, 16)
+        ri16 = jax.lax.broadcasted_iota(jnp.int32, (IN_COLS, IN_COLS), 0)
+        ci16 = jax.lax.broadcasted_iota(jnp.int32, (IN_COLS, IN_COLS), 1)
+        shift_back = ((ri16 == ci16 - 3) & (ci16 >= 9)
+                      & (ci16 < 9 + tau)).astype(jnp.float32)
+        din_ref[...] = _dot(d_ray, shift_back)
 
     return kernel
 
@@ -750,7 +767,9 @@ def fused_field_rays_packed(packed_list, rays16, z, layers, skip, use_beta,
 
 
 def _ray_tile(s: int) -> int:
-    return max(8, TILE // s)
+    # multiple of 8 so the (tile_r, S) depth block keeps full sublanes even
+    # for non-power-of-two S (e.g. coarse+fine S = 64 + n_importance)
+    return max(8, (TILE // s) // 8 * 8)
 
 
 def _fused_forward_rays(packed_list, rays16, z, layers, skip, use_beta,
@@ -799,7 +818,7 @@ def _rays_vjp_bwd(layers, skip, use_beta, rgb_padding, dtype, tau, residuals,
                   g):
     packed_list, rays16, z = residuals
     r, s = z.shape
-    tile_r = max(8, BWD_TILE // s)
+    tile_r = max(8, (BWD_TILE // s) // 8 * 8)
     r_pad = ((r + tile_r - 1) // tile_r) * tile_r
     if r_pad != r:
         rays16 = jnp.pad(rays16, ((0, r_pad - r), (0, 0)))

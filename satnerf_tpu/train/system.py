@@ -92,16 +92,30 @@ class NeRFSystem:
 
         # fused Pallas field kernels: replace the XLA MLP on TPU for all
         # three variants (not on CPU, where only interpret mode exists)
-        self.use_fused = cfg.fused == "on" or (
+        self.use_fused = cfg.fused in ("on", "rays") or (
             cfg.fused == "auto" and jax.default_backend() not in ("cpu",)
         )
-        if self.use_fused and cfg.model in ("s-nerf", "sat-nerf"):
-            # point-mode kernel: the ray-mode variant (expansion o + d*z
-            # inside the kernel, fused_field_apply_rays) is implemented and
-            # gradient-tested but Mosaic cannot yet lower any of its
-            # expansion formulations (3D broadcasts, sublane/lane relayouts,
-            # and offset-carrying sublane concats are all unsupported) —
-            # revisit when Mosaic grows relayout support.
+        if (cfg.fused == "rays" and cfg.model in ("s-nerf", "sat-nerf")):
+            # ray-mode kernel: the o + d*z sample expansion happens inside
+            # the kernel as MXU matmuls against iota-built selection/shift
+            # matrices (no relayouts — see ops/pallas/fused_mlp._expand_rays),
+            # eliminating the XLA-side (N,16) point tensors whose 128-lane
+            # tiling wastes 8x HBM bandwidth in the glue.
+            from satnerf_tpu.ops.pallas.fused_mlp import fused_field_apply_rays
+
+            def fused_apply_rays(params, rays_o, march_d, sun_d, t_embed,
+                                 z_vals, _cfg=cfg, _dtype=compute_dtype):
+                return fused_field_apply_rays(
+                    params, rays_o, march_d, sun_d, t_embed, z_vals,
+                    layers=_cfg.fc_layers, feat=_cfg.fc_units, skip=4,
+                    use_beta=(_cfg.model == "sat-nerf"),
+                    tau=_cfg.t_embbeding_tau, dtype=_dtype,
+                )
+
+            fused_apply_rays.ray_mode = True
+            self.field_fns = {k: fused_apply_rays for k in self.models}
+        elif self.use_fused and cfg.model in ("s-nerf", "sat-nerf"):
+            # point-mode kernel (default): pre-expanded (N, 16) inputs
             from satnerf_tpu.ops.pallas.fused_mlp import fused_field_apply
 
             def fused_apply(params, xyz, view_dir, sun_dir, t_embed,
