@@ -12,6 +12,10 @@ to saturate the chip. Prints ONE json line:
 vs_baseline is relative to the BASELINE.json north-star target of 5M
 rays/sec/chip (the reference publishes no throughput numbers of its own —
 BASELINE.md).
+
+BENCH_MODE=render measures the serving path (forward render of eval/DSM
+products, sharded across the mesh); BENCH_FUSED=rays additionally composites
+inside the kernel (fused_render_rays) — the fastest serving configuration.
 """
 
 import json

@@ -871,6 +871,168 @@ def _rays_vjp_bwd(layers, skip, use_beta, rgb_padding, dtype, tau, residuals,
 fused_field_rays_packed.defvjp(_rays_vjp_fwd, _rays_vjp_bwd)
 
 
+# ---------------------------------------------------- fused render (serving)
+#
+# Forward-only kernel for eval / DSM products: expansion, field, AND alpha
+# compositing all happen in VMEM, so the only HBM traffic is (R, 16) rays +
+# (R, S) depths in and ONE (R, 16) per-ray product row out — no per-point
+# tensor ever leaves the chip's VMEM. The per-ray exclusive cumprod uses the
+# same relayout-free matmul machinery as _expand_rays: scatter per-point
+# columns to (R, S) matrices with Sel^T @ (col * onehot), then cumulate in
+# log space against a constant strictly-lower-triangular matrix on the MXU.
+#
+# Per-ray output layout (16 f32 cols):
+#   0:3 rgb | 3 depth | 4 sun | 5:8 sky | 8 beta | 9:12 albedo | 12 opacity
+
+
+def _sample_onehot(r, s):
+    """(R*S, S) one-hot of each point's sample index (iota compares only)."""
+    p = r * s
+    sel = _ray_selector(r, s)
+    ji = jax.lax.broadcasted_iota(jnp.int32, (p, r), 1)
+    r_col = jnp.sum(sel.astype(jnp.int32) * ji, axis=1, keepdims=True)
+    q_col = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    s_col = q_col - s * r_col
+    si = jax.lax.broadcasted_iota(jnp.int32, (p, s), 1)
+    return sel, (si == s_col).astype(jnp.float32)
+
+
+def _composite_tile(sel, onehot, z, rgb, sigma, sunv, sky, beta, use_beta):
+    """In-kernel alpha compositing of a (tile_r rays x S samples) tile.
+
+    Math identical to render/composite.py (reference models/satnerf.py:44-79)
+    with noise=None: alpha = 1 - exp(-delta*relu(sigma)),
+    T = cumprod_excl(1 - alpha + 1e-10), w = alpha*T; per-ray integrals of
+    rgb*irradiance, z, sun_v, albedo, beta, sky.
+    """
+    r, s = z.shape
+    t_rows = rgb.shape[0]
+
+    sigma_mat = _dot_t_lhs(sel, sigma * onehot)            # (R, S)
+
+    # deltas: z_{s+1} - z_s, last = 1e10 (lane shift via constant matmul)
+    ri_s = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    ci_s = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    shift_up = (ri_s == ci_s + 1).astype(jnp.float32)
+    z_next = _dot(z, shift_up)
+    si_r = jax.lax.broadcasted_iota(jnp.int32, (r, s), 1)
+    deltas = jnp.where(si_r == s - 1, 1e10, z_next - z)
+
+    x = deltas * jax.nn.relu(sigma_mat)
+    one_m_alpha = jnp.exp(-x)                               # = 1 - alpha
+    alpha = 1.0 - one_m_alpha
+    lt = jnp.log(one_m_alpha + 1e-10)
+    strict_lower = (ri_s < ci_s).astype(jnp.float32)        # M[j, i]=1 if j<i
+    transparency = jnp.exp(_dot(lt, strict_lower))          # exclusive cumprod
+    weights = alpha * transparency                          # (R, S)
+
+    depth = jnp.sum(weights * z, axis=1, keepdims=True)     # (R, 1)
+    opacity = jnp.sum(weights, axis=1, keepdims=True)
+
+    # per-point weight: pick each point's w from its ray's weight row
+    w_pt = jnp.sum(_dot(sel, weights) * onehot, axis=1, keepdims=True)
+
+    irr = sunv + (1.0 - sunv) * sky                         # (P, 3)
+    rgb_ray = jnp.clip(_dot_t_lhs(sel, w_pt * rgb * irr), 0.0, 1.0)
+    sun_ray = _dot_t_lhs(sel, w_pt * sunv)
+    albedo_ray = _dot_t_lhs(sel, w_pt * rgb)
+    sky_ray = _dot_t_lhs(sel, w_pt * sky)
+    beta_ray = (_dot_t_lhs(sel, w_pt * beta) if use_beta
+                else jnp.zeros((r, 1), jnp.float32))
+    return jnp.concatenate(
+        [rgb_ray, depth, sun_ray, sky_ray, beta_ray, albedo_ray, opacity,
+         jnp.zeros((r, OUT_COLS - 13), jnp.float32)], axis=-1
+    )
+
+
+def _make_render_kernel_rays(layers, skip, use_beta, rgb_padding, dtype, tau):
+    def kernel(rays_ref, z_ref, *w_refs):
+        out_ref = w_refs[-1]
+        names = [k for k in _PACKED_ORDER
+                 if use_beta or not k.startswith(("Wbeta", "bbeta"))]
+        w = {k: r[...] for k, r in zip(names, w_refs[:-1])}
+        z = z_ref[...]
+        r, s = z.shape
+        xin = _expand_rays(rays_ref[...], z, tau)
+        h = _trunk_fwd(xin, (w["A"], w["B"], w["C"], w["bt"]), layers, skip,
+                       dtype)
+        rgb, sigma, sunv, sky, beta = _heads_fwd(
+            xin, h, w, use_beta, rgb_padding, dtype
+        )
+        sel, onehot = _sample_onehot(r, s)
+        out_ref[...] = _composite_tile(sel, onehot, z, rgb, sigma, sunv, sky,
+                                       beta, use_beta)
+
+    return kernel
+
+
+def fused_render_rays(params: dict, rays_o, rays_d, sun_dir, t_embed, z_vals,
+                      *, layers: int = 8, feat: int = 512, skip: int = 4,
+                      use_beta: bool = True, rgb_padding: float = 0.001,
+                      tau: int = 4, dtype=jnp.bfloat16) -> dict:
+    """Serving path: render rays to per-ray products entirely in one kernel.
+
+    Returns {"rgb": (R,3), "depth": (R,), "sun": (R,1), "sky": (R,3),
+    "beta": (R,1) [sat-nerf], "albedo": (R,3), "opacity": (R,)} — the per-ray
+    integrals eval/images.py computes host-side from the per-sample outputs
+    (reference eval_satnerf.py:95-146), already composited on-chip.
+    """
+    r, s = z_vals.shape
+    t_part = (t_embed.astype(jnp.float32) if (t_embed is not None and use_beta)
+              else jnp.zeros((r, tau), jnp.float32))
+    rays16 = jnp.concatenate(
+        [rays_o.astype(jnp.float32), rays_d.astype(jnp.float32),
+         (sun_dir.astype(jnp.float32) if sun_dir is not None
+          else jnp.zeros((r, 3), jnp.float32)),
+         t_part, jnp.zeros((r, IN_COLS - 9 - tau), jnp.float32)], axis=-1,
+    )
+    packed = pack_params(params, layers, feat, skip, use_beta, tau, dtype)
+    plist = _order(packed)
+
+    z = z_vals.astype(jnp.float32)
+    tile_r = _ray_tile(s)
+    r_pad = ((r + tile_r - 1) // tile_r) * tile_r
+    if r_pad != r:
+        rays16 = jnp.pad(rays16, ((0, r_pad - r), (0, 0)))
+        z = jnp.pad(z, ((0, r_pad - r), (0, 0)), constant_values=1.0)
+
+    kernel = _make_render_kernel_rays(layers, skip, use_beta, rgb_padding,
+                                      dtype, tau)
+    w_specs = [
+        pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for p in plist
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(r_pad // tile_r,),
+        in_specs=[
+            pl.BlockSpec((tile_r, IN_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_r, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec((tile_r, OUT_COLS), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r_pad, OUT_COLS), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(rays16, z, *plist)[:r]
+    res = {
+        "rgb": out[:, 0:3],
+        "depth": out[:, 3],
+        "sun": out[:, 4:5],
+        "sky": out[:, 5:8],
+        "albedo": out[:, 9:12],
+        "opacity": out[:, 12],
+    }
+    if use_beta:
+        res["beta"] = out[:, 8:9]
+    return res
+
+
 def fused_field_apply_rays(params: dict, rays_o, rays_d, sun_dir, t_embed,
                            z_vals, *, layers: int = 8, feat: int = 512,
                            skip: int = 4, use_beta: bool = True,

@@ -79,7 +79,7 @@ class NeRFSystem:
         self.depth = cfg.ds_lambda > 0
         self.ds_drop_step = int(round(cfg.ds_drop * cfg.max_train_steps))
 
-        compute_dtype = (
+        compute_dtype = self.compute_dtype = (
             jnp.bfloat16 if cfg.precision == "bfloat16" else jnp.float32
         )
         self.models = {
@@ -208,6 +208,51 @@ class NeRFSystem:
         t_embed = self._embed_ts(params, ts)
         return render_rays(self.field_fns, params, rays, t_embed, key, cfg,
                            noise_std=noise_std)
+
+    @property
+    def _use_fused_product_render(self) -> bool:
+        """Eval/serving can composite inside the kernel (fused_render_rays)
+        when the coarse-only SIREN path is active under --fused rays."""
+        return (self.cfg.fused == "rays"
+                and self.cfg.model in ("s-nerf", "sat-nerf")
+                and self.cfg.n_importance == 0)
+
+    def _fused_product_render(self, params, rays, ts, key) -> dict:
+        """Render per-ray products entirely on-chip (expansion + field +
+        compositing in one Pallas kernel) and repack them in the
+        reference-shaped results dict: the per-sample extras come back
+        pre-integrated with a singleton sample axis and weights == 1, so
+        eval/images.py's host-side `(weights * q).sum(-2)` reductions
+        (reference eval_satnerf.py:95-146) are the identity."""
+        from satnerf_tpu.ops.pallas.fused_mlp import fused_render_rays
+        from satnerf_tpu.render.sampling import stratified_zvals
+
+        cfg = self.eval_render_cfg
+        t_embed = self._embed_ts(params, ts)
+        rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+        near, far = rays[:, 6:7], rays[:, 7:8]
+        sun_d = rays[:, 8:11] if rays.shape[1] >= 11 else None
+        z_vals = stratified_zvals(key, near, far, cfg.n_samples, cfg.perturb,
+                                  cfg.use_disp)
+        out = fused_render_rays(
+            params["coarse"], rays_o, rays_d, sun_d, t_embed, z_vals,
+            layers=self.cfg.fc_layers, feat=self.cfg.fc_units, skip=4,
+            use_beta=(self.cfg.model == "sat-nerf"),
+            tau=self.cfg.t_embbeding_tau, dtype=self.compute_dtype,
+        )
+        n = rays.shape[0]
+        res = {
+            "rgb_coarse": out["rgb"],
+            "depth_coarse": out["depth"],
+            "opacity_coarse": out["opacity"],
+            "weights_coarse": jnp.ones((n, 1), jnp.float32),
+            "sun_coarse": out["sun"][:, None, :],
+            "albedo_coarse": out["albedo"][:, None, :],
+            "sky_coarse": out["sky"][:, None, :],
+        }
+        if "beta" in out:
+            res["beta_coarse"] = out["beta"][:, None, :]
+        return res
 
     # ------------------------------------------------------------- schedules
 
@@ -350,6 +395,8 @@ class NeRFSystem:
 
         def local_render(params, rays, ts, key):
             t = ts if self.use_ts else None
+            if self._use_fused_product_render:
+                return self._fused_product_render(params, rays, t, key)
             return self.render(params, rays, t, key, train=False)
 
         fn = jax.shard_map(

@@ -190,3 +190,73 @@ class TestRayMode:
                                        err_msg=jax.tree_util.keystr(path))
         # t_embed input grads
         np.testing.assert_allclose(g_r[1], g_p[1], atol=1e-5)
+
+
+class TestFusedRender:
+    """fused_render_rays (in-kernel compositing) vs flax field + XLA
+    compositor (render/composite.py)."""
+
+    @pytest.mark.parametrize("variant", ["sat-nerf", "s-nerf"])
+    def test_matches_field_plus_composite(self, variant):
+        from satnerf_tpu.render.composite import composite
+
+        m, params, *_ = _setup(variant, N=0)
+        use_beta = variant == "sat-nerf"
+        rng = np.random.RandomState(7)
+        R, S = 12, 8
+        rays_o = jnp.array(rng.randn(R, 3).astype(np.float32) * 0.2)
+        rays_d = jnp.array(rng.randn(R, 3).astype(np.float32))
+        rays_d = rays_d / jnp.linalg.norm(rays_d, axis=1, keepdims=True)
+        sun_d = jnp.array(rng.randn(R, 3).astype(np.float32))
+        t_r = jnp.array(rng.randn(R, 4).astype(np.float32))
+        z = jnp.array(np.sort(rng.rand(R, S).astype(np.float32) * 3, -1))
+
+        xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[:, :, None]
+        sun = jnp.broadcast_to(sun_d[:, None, :], (R, S, 3))
+        t_e = (jnp.broadcast_to(t_r[:, None, :], (R, S, 4))
+               if use_beta else None)
+        field = m.apply({"params": params}, xyz, sun_dir=sun, t_embed=t_e)
+        ref = composite(field, z, noise=None, shadow=True)
+
+        with pltpu.force_tpu_interpret_mode():
+            out = FM.fused_render_rays(params, rays_o, rays_d, sun_d,
+                                       t_r if use_beta else None, z,
+                                       layers=8, feat=32, use_beta=use_beta,
+                                       dtype=jnp.float32)
+
+        w = np.asarray(ref["weights"])
+        np.testing.assert_allclose(out["rgb"], ref["rgb"], atol=2e-4)
+        np.testing.assert_allclose(out["depth"], ref["depth"], atol=2e-4)
+        np.testing.assert_allclose(out["opacity"], w.sum(-1), atol=2e-4)
+        np.testing.assert_allclose(
+            out["sun"], (w[..., None] * np.asarray(ref["sun"])).sum(-2),
+            atol=2e-4)
+        np.testing.assert_allclose(
+            out["albedo"], (w[..., None] * np.asarray(ref["albedo"])).sum(-2),
+            atol=2e-4)
+        np.testing.assert_allclose(
+            out["sky"], (w[..., None] * np.asarray(ref["sky"])).sum(-2),
+            atol=2e-4)
+        if use_beta:
+            np.testing.assert_allclose(
+                out["beta"], (w[..., None] * np.asarray(ref["beta"])).sum(-2),
+                atol=2e-4)
+
+    def test_ray_padding(self):
+        """R not a multiple of the ray tile: padded rows must not leak."""
+        m, params, *_ = _setup("sat-nerf", N=0)
+        rng = np.random.RandomState(8)
+        S = 8
+        for R in (5, 11):
+            rays_o = jnp.array(rng.randn(R, 3).astype(np.float32) * 0.2)
+            rays_d = jnp.array(rng.randn(R, 3).astype(np.float32))
+            sun_d = jnp.array(rng.randn(R, 3).astype(np.float32))
+            t_r = jnp.array(rng.randn(R, 4).astype(np.float32))
+            z = jnp.array(np.sort(rng.rand(R, S).astype(np.float32), -1))
+            with pltpu.force_tpu_interpret_mode():
+                out = FM.fused_render_rays(params, rays_o, rays_d, sun_d,
+                                           t_r, z, layers=8, feat=32,
+                                           dtype=jnp.float32)
+            assert out["rgb"].shape == (R, 3)
+            assert np.isfinite(np.asarray(out["rgb"])).all()
+            assert np.isfinite(np.asarray(out["depth"])).all()

@@ -167,3 +167,40 @@ class TestEvalRender:
         out = sys_.render_image(state.params, rays, ts)
         assert out["rgb_coarse"].shape == (150, 3)
         assert out["depth_coarse"].shape == (150,)
+
+
+class TestFusedProductRender:
+    """--fused rays eval path: in-kernel compositing through the sharded
+    render_image surface must reproduce the flax + XLA-compositor results
+    and come back in the reference-shaped product dict."""
+
+    def test_matches_unfused_eval_render(self, rng, eight_devices):
+        from jax.experimental.pallas import tpu as pltpu
+
+        rays, rgbs, ts = _toy_data(rng, n=512)
+        mesh = make_mesh()
+        cfg_f = _small_cfg(fused="rays", chunk=256)
+        cfg_o = _small_cfg(fused="off", chunk=256)
+        sys_f = NeRFSystem(cfg_f, dataset_len=2048, mesh=mesh)
+        sys_o = NeRFSystem(cfg_o, dataset_len=2048, mesh=mesh)
+        assert sys_f._use_fused_product_render
+        params = sys_o.init_params(jax.random.PRNGKey(0))
+
+        with pltpu.force_tpu_interpret_mode():
+            res_f = sys_f.render_image(params, rays, ts)
+        res_o = sys_o.render_image(params, rays, ts)
+
+        np.testing.assert_allclose(res_f["rgb_coarse"], res_o["rgb_coarse"],
+                                   atol=2e-4)
+        np.testing.assert_allclose(res_f["depth_coarse"],
+                                   res_o["depth_coarse"], atol=2e-4)
+        # pre-integrated extras with weights==1 == host-side (w*q).sum(-2)
+        w = res_o["weights_coarse"]
+        for k, ref in (("sun", res_o["sun_coarse"]),
+                       ("sky", res_o["sky_coarse"]),
+                       ("beta", res_o["beta_coarse"]),
+                       ("albedo", res_o["albedo_coarse"])):
+            got = (res_f["weights_coarse"][..., None]
+                   * res_f[f"{k}_coarse"]).sum(-2)
+            want = (w[..., None] * ref).sum(-2)
+            np.testing.assert_allclose(got, want, atol=2e-4, err_msg=k)
