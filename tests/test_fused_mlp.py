@@ -260,3 +260,44 @@ class TestFusedRender:
             assert out["rgb"].shape == (R, 3)
             assert np.isfinite(np.asarray(out["rgb"])).all()
             assert np.isfinite(np.asarray(out["depth"])).all()
+
+
+class TestExpansionPrimitives:
+    """Direct unit tests of the relayout-free expansion building blocks
+    (iota-matmul selection/one-hot/lane-shift) against plain numpy."""
+
+    def test_ray_selector(self):
+        r, s = 5, 3
+        sel = np.asarray(FM._ray_selector(r, s))
+        want = np.zeros((r * s, r), np.float32)
+        for q in range(r * s):
+            want[q, q // s] = 1.0
+        np.testing.assert_array_equal(sel, want)
+
+    def test_sample_onehot(self):
+        r, s = 4, 6
+        _, onehot = FM._sample_onehot(r, s)
+        want = np.zeros((r * s, s), np.float32)
+        for q in range(r * s):
+            want[q, q % s] = 1.0
+        np.testing.assert_array_equal(np.asarray(onehot), want)
+
+    def test_expand_rays_layout(self):
+        rng = np.random.RandomState(11)
+        r, s, tau = 3, 4, 4
+        rays = np.zeros((r, FM.IN_COLS), np.float32)
+        rays[:, : 9 + tau] = rng.randn(r, 9 + tau)
+        z = np.sort(rng.rand(r, s).astype(np.float32), -1)
+        out = np.asarray(FM._expand_rays(jnp.array(rays), jnp.array(z), tau))
+        assert out.shape == (r * s, FM.IN_COLS)
+        for ri in range(r):
+            for si in range(s):
+                q = ri * s + si
+                np.testing.assert_allclose(
+                    out[q, 0:3],
+                    rays[ri, 0:3] + rays[ri, 3:6] * z[ri, si], rtol=1e-6)
+                np.testing.assert_allclose(out[q, 3:6], rays[ri, 6:9],
+                                           rtol=1e-6)
+                np.testing.assert_allclose(out[q, 6:6 + tau],
+                                           rays[ri, 9:9 + tau], rtol=1e-6)
+                np.testing.assert_array_equal(out[q, 6 + tau:], 0.0)
