@@ -325,22 +325,38 @@ def _make_fwd_kernel(layers, skip, use_beta, rgb_padding, dtype):
 # ---------------------------------------------------------- backward kernel
 
 
+def _fwd_saves(xin, w, layers, skip, use_beta, rgb_padding, dtype):
+    """Forward recompute with residuals: returns (trunk output h, per-layer
+    trunk saves, head saves). Shared by the backward kernels so the train
+    compositor backward can reuse ONE recompute for both the compositor
+    cotangents and the field backprop."""
+    trunk_save = [None] * layers
+    h = _trunk_fwd(xin, (w["A"], w["B"], w["C"], w["bt"]), layers, skip,
+                   dtype, save=trunk_save)
+    hs = {}
+    _heads_fwd(xin, h, w, use_beta, rgb_padding, dtype, save=hs)
+    return h, trunk_save, hs
+
+
 def _point_bwd_body(xin, g, w, grad_refs, layers, skip, use_beta,
                     rgb_padding, dtype):
     """Shared backward body: recompute forward for a tile of point inputs,
     accumulate all weight grads into the resident refs, return the per-point
     input cotangent (N, IN_COLS). Used by both the point-mode and ray-mode
     backward kernels."""
+    h, trunk_save, hs = _fwd_saves(xin, w, layers, skip, use_beta,
+                                   rgb_padding, dtype)
+    return _point_bwd_from_saves(xin, g, w, grad_refs, h, trunk_save, hs,
+                                 layers, skip, use_beta, rgb_padding, dtype)
+
+
+def _point_bwd_from_saves(xin, g, w, grad_refs, h, trunk_save, hs, layers,
+                          skip, use_beta, rgb_padding, dtype):
+    """Backprop a per-point packed cotangent `g` (N, OUT_COLS layout:
+    rgb 0:3 | sigma 3 | sun_v 4 | sky 5:8 | beta 8) through heads + trunk
+    using precomputed forward saves; accumulate weight grads, return d_in."""
     if True:
         xb = xin.astype(dtype)
-
-        # ---- forward recompute with residuals
-        trunk_save = [None] * layers
-        h = _trunk_fwd(xin, (w["A"], w["B"], w["C"], w["bt"]), layers, skip,
-                       dtype, save=trunk_save)
-        hs = {}
-        _heads_fwd(xin, h, w, use_beta, rgb_padding, dtype, save=hs)
-
         fb = hs["feats"].astype(dtype)
         hb = h.astype(dtype)
 
@@ -897,18 +913,22 @@ def _sample_onehot(r, s):
     return sel, (si == s_col).astype(jnp.float32)
 
 
-def _composite_tile(sel, onehot, z, rgb, sigma, sunv, sky, beta, use_beta):
+def _composite_tile(sel, onehot, z, rgb, sigma, sunv, sky, beta, use_beta,
+                    noise=None):
     """In-kernel alpha compositing of a (tile_r rays x S samples) tile.
 
-    Math identical to render/composite.py (reference models/satnerf.py:44-79)
-    with noise=None: alpha = 1 - exp(-delta*relu(sigma)),
+    Math identical to render/composite.py (reference models/satnerf.py:44-79):
+    alpha = 1 - exp(-delta*relu(sigma [+ noise])),
     T = cumprod_excl(1 - alpha + 1e-10), w = alpha*T; per-ray integrals of
-    rgb*irradiance, z, sun_v, albedo, beta, sky.
+    rgb*irradiance, z, sun_v, albedo, beta, sky. `noise` is the training-time
+    per-sample (R, S) sigma noise, generated in XLA and passed in.
     """
     r, s = z.shape
     t_rows = rgb.shape[0]
 
     sigma_mat = _dot_t_lhs(sel, sigma * onehot)            # (R, S)
+    if noise is not None:
+        sigma_mat = sigma_mat + noise
 
     # deltas: z_{s+1} - z_s, last = 1e10 (lane shift via constant matmul)
     ri_s = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
@@ -1063,4 +1083,342 @@ def fused_field_apply_rays(params: dict, rays_o, rays_d, sun_dir, t_embed,
     }
     if use_beta:
         res["beta"] = out[:, 8:9].reshape(r, s, 1)
+    return res
+
+
+# ------------------------------------------------- fused render (TRAINING)
+#
+# The training-time version of the fused render above: expansion + field +
+# compositing in one kernel, with a custom VJP whose backward runs the
+# compositor adjoint in-kernel and feeds the resulting per-point cotangents
+# straight into the shared field backward (_point_bwd_from_saves). Compared
+# to the ray-mode field kernel + XLA compositor, both the (P, 16) out/g
+# per-point HBM round-trips and the XLA compositor/loss fusions disappear:
+# the backward's incoming cotangent shrinks from (R*S, 16) to (R, 16).
+#
+# Derivation recorded in docs/KERNEL_NOTES.md; semantics match
+# render/composite.py (reference models/satnerf.py:44-79). Training sigma
+# noise is drawn in XLA and passed as an (R, S) input (threefry in-kernel is
+# not worth it). Solar-correction sun-ray passes stay on the per-sample
+# ray-mode path (their loss consumes per-sample weights/transparency).
+
+
+def _composite_bwd_tile(sel, onehot, z, noise, rgb, sigma, sunv, sky, beta,
+                        g_ray, use_beta):
+    """Compositor adjoint: per-ray cotangents (R, 16, fused-render output
+    layout) -> packed per-point field cotangents (P, 16, field layout).
+
+    Recomputes the (cheap) compositor forward from the per-point field
+    outputs, then:
+      dL/dw      via the per-point integrand products + depth/opacity terms,
+      dL/dalpha  through w = alpha * T with the suffix sum (dw*w) @ U
+                 (U strictly upper triangular -> one MXU matmul),
+      dL/dsigma  through alpha = 1 - exp(-delta * relu(sigma + noise)).
+    """
+    r, s = z.shape
+
+    # ---- compositor forward recompute (same ops as _composite_tile)
+    sigma_mat = _dot_t_lhs(sel, sigma * onehot)
+    if noise is not None:
+        sigma_mat = sigma_mat + noise
+    ri_s = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    ci_s = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    shift_up = (ri_s == ci_s + 1).astype(jnp.float32)
+    z_next = _dot(z, shift_up)
+    si_r = jax.lax.broadcasted_iota(jnp.int32, (r, s), 1)
+    deltas = jnp.where(si_r == s - 1, 1e10, z_next - z)
+    x = deltas * jax.nn.relu(sigma_mat)
+    one_m_alpha = jnp.exp(-x)
+    alpha = 1.0 - one_m_alpha
+    lt = jnp.log(one_m_alpha + 1e-10)
+    strict_lower = (ri_s < ci_s).astype(jnp.float32)
+    transparency = jnp.exp(_dot(lt, strict_lower))
+    w_mat = alpha * transparency                            # (R, S)
+    w_pt = jnp.sum(_dot(sel, w_mat) * onehot, axis=1, keepdims=True)
+    irr = sunv + (1.0 - sunv) * sky                         # (P, 3)
+
+    # ---- incoming per-ray cotangents (fused-render output layout)
+    g_rgb = g_ray[:, 0:3]
+    g_depth = g_ray[:, 3:4]
+    g_sun = g_ray[:, 4:5]
+    g_sky = g_ray[:, 5:8]
+    g_beta = g_ray[:, 8:9]
+    g_alb = g_ray[:, 9:12]
+    g_op = g_ray[:, 12:13]
+
+    # rgb clip adjoint: zero outside [0, 1] (recompute unclipped integral)
+    rgb_pre = _dot_t_lhs(sel, w_pt * rgb * irr)
+    g_rgb = g_rgb * ((rgb_pre >= 0.0) & (rgb_pre <= 1.0)).astype(jnp.float32)
+
+    # broadcast ray cotangents to their points (MXU: Sel @ g)
+    G_rgb = _dot(sel, g_rgb)                                # (P, 3)
+    G_alb = _dot(sel, g_alb)
+    G_sun = _dot(sel, g_sun)                                # (P, 1)
+    G_sky = _dot(sel, g_sky)
+
+    d_rgb_pt = w_pt * (irr * G_rgb + G_alb)
+    d_irr = w_pt * rgb * G_rgb
+    d_sunv_pt = (jnp.sum(d_irr * (1.0 - sky), axis=1, keepdims=True)
+                 + w_pt * G_sun)
+    d_sky_pt = d_irr * (1.0 - sunv) + w_pt * G_sky
+    d_w_pt = (jnp.sum(rgb * irr * G_rgb, axis=1, keepdims=True)
+              + jnp.sum(rgb * G_alb, axis=1, keepdims=True)
+              + sunv * G_sun
+              + jnp.sum(sky * G_sky, axis=1, keepdims=True))
+    if use_beta:
+        G_beta = _dot(sel, g_beta)
+        d_beta_pt = w_pt * G_beta
+        d_w_pt = d_w_pt + beta * G_beta
+
+    # ---- dL/dw: scatter the per-point part to (R, S), add depth/opacity
+    dw = _dot_t_lhs(sel, d_w_pt * onehot) + g_depth * z + g_op
+
+    # ---- through w = alpha * T (suffix sum = one triangular matmul)
+    strict_upper = (ri_s > ci_s).astype(jnp.float32)        # U[k, i]=1, k>i
+    suffix = _dot(dw * w_mat, strict_upper)
+    d_alpha = dw * transparency - suffix / (one_m_alpha + 1e-10)
+
+    # ---- through alpha = 1 - exp(-delta * relu(sigma + noise))
+    dx = d_alpha * one_m_alpha
+    d_sn = dx * deltas * (sigma_mat > 0.0).astype(jnp.float32)
+    d_sigma_pt = jnp.sum(_dot(sel, d_sn) * onehot, axis=1, keepdims=True)
+
+    p = rgb.shape[0]
+    beta_col = d_beta_pt if use_beta else jnp.zeros((p, 1), jnp.float32)
+    return jnp.concatenate(
+        [d_rgb_pt, d_sigma_pt, d_sunv_pt, d_sky_pt, beta_col,
+         jnp.zeros((p, OUT_COLS - 9), jnp.float32)], axis=-1
+    )
+
+
+def _make_train_render_kernel_rays(layers, skip, use_beta, rgb_padding, dtype,
+                                   tau):
+    def kernel(rays_ref, z_ref, noise_ref, *w_refs):
+        out_ref = w_refs[-1]
+        names = [k for k in _PACKED_ORDER
+                 if use_beta or not k.startswith(("Wbeta", "bbeta"))]
+        w = {k: r[...] for k, r in zip(names, w_refs[:-1])}
+        z = z_ref[...]
+        r, s = z.shape
+        xin = _expand_rays(rays_ref[...], z, tau)
+        h = _trunk_fwd(xin, (w["A"], w["B"], w["C"], w["bt"]), layers, skip,
+                       dtype)
+        rgb, sigma, sunv, sky, beta = _heads_fwd(
+            xin, h, w, use_beta, rgb_padding, dtype
+        )
+        sel, onehot = _sample_onehot(r, s)
+        out_ref[...] = _composite_tile(sel, onehot, z, rgb, sigma, sunv, sky,
+                                       beta, use_beta, noise=noise_ref[...])
+
+    return kernel
+
+
+def _make_train_render_bwd_kernel(layers, skip, use_beta, rgb_padding, dtype,
+                                  tau):
+    def kernel(rays_ref, z_ref, noise_ref, g_ref, *refs):
+        names = [k for k in _PACKED_ORDER
+                 if use_beta or not k.startswith(("Wbeta", "bbeta"))]
+        n_w = len(names)
+        w = {k: r[...] for k, r in zip(names, refs[:n_w])}
+        din_ref = refs[n_w]
+        grad_refs = {k: r for k, r in zip(names, refs[n_w + 1:])}
+
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            for k in names:
+                grad_refs[k][...] = jnp.zeros(
+                    grad_refs[k].shape, grad_refs[k].dtype
+                )
+
+        z = z_ref[...]
+        r_rows, s = z.shape
+        xin = _expand_rays(rays_ref[...], z, tau)
+
+        # one shared forward recompute serves both the compositor adjoint
+        # (needs the per-point field outputs) and the field backprop
+        h, trunk_save, hs = _fwd_saves(xin, w, layers, skip, use_beta,
+                                       rgb_padding, dtype)
+        rgb = hs["rgb_s"][:, 0:3] * (1 + 2 * rgb_padding) - rgb_padding
+        sigma = jax.nn.softplus(hs["sigma_pre"][:, 0:1])
+        sunv = hs["sunv"][:, 0:1]
+        sky = hs["sky"][:, 0:3]
+        beta = hs["beta"][:, 0:1] if use_beta else None
+
+        sel, onehot = _sample_onehot(r_rows, s)
+        g_pt = _composite_bwd_tile(sel, onehot, z, noise_ref[...], rgb, sigma,
+                                   sunv, sky, beta, g_ref[...], use_beta)
+        d_in = _point_bwd_from_saves(xin, g_pt, w, grad_refs, h, trunk_save,
+                                     hs, layers, skip, use_beta, rgb_padding,
+                                     dtype)
+        # per-ray t-embedding grad: reduce over the ray's samples and remap
+        # point cols 6:6+tau to ray cols 9:9+tau (same as _make_bwd_kernel_rays)
+        d_ray = _dot_t_lhs(sel, d_in)
+        ri16 = jax.lax.broadcasted_iota(jnp.int32, (IN_COLS, IN_COLS), 0)
+        ci16 = jax.lax.broadcasted_iota(jnp.int32, (IN_COLS, IN_COLS), 1)
+        shift_back = ((ri16 == ci16 - 3) & (ci16 >= 9)
+                      & (ci16 < 9 + tau)).astype(jnp.float32)
+        din_ref[...] = _dot(d_ray, shift_back)
+
+    return kernel
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def fused_train_render_packed(packed_list, rays16, z, noise, layers, skip,
+                              use_beta, rgb_padding, dtype, tau):
+    """(packed weights, (R, 16) rays, (R, S) depths, (R, S) sigma noise)
+    -> (R, 16) per-ray composited products (fused-render output layout)."""
+    return _train_render_fwd_impl(packed_list, rays16, z, noise, layers, skip,
+                                  use_beta, rgb_padding, dtype, tau)
+
+
+def _train_render_fwd_impl(packed_list, rays16, z, noise, layers, skip,
+                           use_beta, rgb_padding, dtype, tau):
+    r, s = z.shape
+    tile_r = _ray_tile(s)
+    r_pad = ((r + tile_r - 1) // tile_r) * tile_r
+    if r_pad != r:
+        rays16 = jnp.pad(rays16, ((0, r_pad - r), (0, 0)))
+        z = jnp.pad(z, ((0, r_pad - r), (0, 0)), constant_values=1.0)
+        noise = jnp.pad(noise, ((0, r_pad - r), (0, 0)))
+    kernel = _make_train_render_kernel_rays(layers, skip, use_beta,
+                                            rgb_padding, dtype, tau)
+    w_specs = [
+        pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for p in packed_list
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(r_pad // tile_r,),
+        in_specs=[
+            pl.BlockSpec((tile_r, IN_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_r, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_r, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec((tile_r, OUT_COLS), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r_pad, OUT_COLS), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(rays16, z, noise, *packed_list)
+    return out[:r]
+
+
+def _train_render_vjp_fwd(packed_list, rays16, z, noise, layers, skip,
+                          use_beta, rgb_padding, dtype, tau):
+    out = _train_render_fwd_impl(packed_list, rays16, z, noise, layers, skip,
+                                 use_beta, rgb_padding, dtype, tau)
+    return out, (packed_list, rays16, z, noise)
+
+
+def _train_render_vjp_bwd(layers, skip, use_beta, rgb_padding, dtype, tau,
+                          residuals, g):
+    packed_list, rays16, z, noise = residuals
+    r, s = z.shape
+    tile_r = max(8, (BWD_TILE // s) // 8 * 8)
+    r_pad = ((r + tile_r - 1) // tile_r) * tile_r
+    zp, noisep = z, noise
+    if r_pad != r:
+        rays16 = jnp.pad(rays16, ((0, r_pad - r), (0, 0)))
+        zp = jnp.pad(z, ((0, r_pad - r), (0, 0)), constant_values=1.0)
+        noisep = jnp.pad(noise, ((0, r_pad - r), (0, 0)))
+        g = jnp.pad(g, ((0, r_pad - r), (0, 0)))
+
+    kernel = _make_train_render_bwd_kernel(layers, skip, use_beta,
+                                           rgb_padding, dtype, tau)
+    w_specs = [
+        pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for p in packed_list
+    ]
+    grad_specs = [
+        pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for p in packed_list
+    ]
+    din, *grads = pl.pallas_call(
+        kernel,
+        grid=(r_pad // tile_r,),
+        in_specs=[
+            pl.BlockSpec((tile_r, IN_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_r, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_r, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_r, OUT_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_r, IN_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *grad_specs,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_pad, IN_COLS), jnp.float32),
+            *(jax.ShapeDtypeStruct(p.shape, jnp.float32)
+              for p in packed_list),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024
+        ),
+    )(rays16, zp, noisep, g, *packed_list)
+    grads = [gr.astype(p.dtype) for gr, p in zip(grads, packed_list)]
+    # z and noise carry no cotangent (stop-gradient data, like the reference's
+    # detached depths); rays16 returns only the t-embedding columns
+    return (grads, din[:r], jnp.zeros_like(z), jnp.zeros_like(noise))
+
+
+fused_train_render_packed.defvjp(_train_render_vjp_fwd, _train_render_vjp_bwd)
+
+
+def fused_train_render_rays(params: dict, rays_o, rays_d, sun_dir, t_embed,
+                            z_vals, noise=None, *, layers: int = 8,
+                            feat: int = 512, skip: int = 4,
+                            use_beta: bool = True, rgb_padding: float = 0.001,
+                            tau: int = 4, dtype=jnp.bfloat16) -> dict:
+    """Training path: differentiable fused render of rays to per-ray products.
+
+    Same contract as fused_render_rays (expansion + field + compositing in
+    one kernel) but with a custom VJP — gradients flow to `params` (through
+    pack_params) and to `t_embed`. `noise` is the per-sample training sigma
+    noise (R, S) or None. Returns {"rgb" (R,3), "depth" (R,), "sun" (R,1),
+    "sky" (R,3), "albedo" (R,3), "opacity" (R,), ["beta" (R,1)]} where beta
+    is the weight-integrated per-ray uncertainty the Sat-NeRF loss consumes
+    (reference metrics.py:21-25 integrates it host-side from per-sample
+    weights; here it comes back pre-integrated)."""
+    r, s = z_vals.shape
+    t_part = (t_embed.astype(jnp.float32) if (t_embed is not None and use_beta)
+              else jnp.zeros((r, tau), jnp.float32))
+    rays16 = jnp.concatenate(
+        [rays_o.astype(jnp.float32), rays_d.astype(jnp.float32),
+         (sun_dir.astype(jnp.float32) if sun_dir is not None
+          else jnp.zeros((r, 3), jnp.float32)),
+         t_part, jnp.zeros((r, IN_COLS - 9 - tau), jnp.float32)], axis=-1,
+    )
+    if noise is None:
+        noise = jnp.zeros((r, s), jnp.float32)
+    packed = pack_params(params, layers, feat, skip, use_beta, tau, dtype)
+    plist = _order(packed)
+    out = fused_train_render_packed(plist, rays16, z_vals.astype(jnp.float32),
+                                    noise.astype(jnp.float32), layers, skip,
+                                    use_beta, rgb_padding, dtype, tau)
+    res = {
+        "rgb": out[:, 0:3],
+        "depth": out[:, 3],
+        "sun": out[:, 4:5],
+        "sky": out[:, 5:8],
+        "albedo": out[:, 9:12],
+        "opacity": out[:, 12],
+    }
+    if use_beta:
+        res["beta"] = out[:, 8:9]
     return res

@@ -61,12 +61,20 @@ def uncertainty_aware_terms(results: dict, targets, typ: str):
     """Beta-uncertainty color + log-beta terms (metrics.py:21-25).
 
     beta is the weight-integrated per-sample uncertainty plus beta_min; the
-    +3/2 offset keeps the log term positive given beta_min = 0.05.
+    +3/2 offset keeps the log term positive given beta_min = 0.05. The fused
+    train-render path (ops/pallas/fused_mlp.fused_train_render_rays)
+    integrates beta inside the kernel and supplies it pre-reduced as
+    `beta_ray_{typ}` (N, 1); otherwise it is reduced here from the
+    per-sample weights/beta.
     """
-    beta = (
-        jnp.sum(results[f"weights_{typ}"][..., None] * results[f"beta_{typ}"], axis=-2)
-        + BETA_MIN
-    )
+    if f"beta_ray_{typ}" in results:
+        beta = results[f"beta_ray_{typ}"] + BETA_MIN
+    else:
+        beta = (
+            jnp.sum(results[f"weights_{typ}"][..., None] * results[f"beta_{typ}"],
+                    axis=-2)
+            + BETA_MIN
+        )
     color = jnp.mean((results[f"rgb_{typ}"] - targets) ** 2 / (2.0 * beta**2))
     logbeta = (3.0 + jnp.mean(jnp.log(beta))) / 2.0
     return color, logbeta

@@ -90,12 +90,25 @@ class NeRFSystem:
             self.models["fine"] = build_model(cfg.model, cfg.fc_layers,
                                               cfg.fc_units, dtype=compute_dtype)
 
-        # fused Pallas field kernels: replace the XLA MLP on TPU for all
-        # three variants (not on CPU, where only interpret mode exists)
-        self.use_fused = cfg.fused in ("on", "rays") or (
-            cfg.fused == "auto" and jax.default_backend() not in ("cpu",)
-        )
-        if (cfg.fused == "rays" and cfg.model in ("s-nerf", "sat-nerf")):
+        # fused Pallas kernels: replace the XLA MLP on TPU for all three
+        # variants (not on CPU, where only interpret mode exists). Resolved
+        # modes: "rays" = in-kernel sample expansion + fused train/serve
+        # compositor (shadow variants), "points" = pre-expanded field kernel,
+        # "off" = flax/XLA. "auto" resolves to the fastest eligible mode.
+        if cfg.fused == "off":
+            self.fused_mode = "off"
+        elif cfg.fused == "rays":
+            self.fused_mode = ("rays" if cfg.model in ("s-nerf", "sat-nerf")
+                               else "points")
+        elif cfg.fused == "on":
+            self.fused_mode = "points"
+        elif jax.default_backend() in ("cpu",):
+            self.fused_mode = "off"
+        else:
+            self.fused_mode = ("rays" if cfg.model in ("s-nerf", "sat-nerf")
+                               else "points")
+        self.use_fused = self.fused_mode != "off"
+        if self.fused_mode == "rays":
             # ray-mode kernel: the o + d*z sample expansion happens inside
             # the kernel as MXU matmuls against iota-built selection/shift
             # matrices (no relayouts — see ops/pallas/fused_mlp._expand_rays),
@@ -114,7 +127,7 @@ class NeRFSystem:
 
             fused_apply_rays.ray_mode = True
             self.field_fns = {k: fused_apply_rays for k in self.models}
-        elif self.use_fused and cfg.model in ("s-nerf", "sat-nerf"):
+        elif self.fused_mode == "points" and cfg.model in ("s-nerf", "sat-nerf"):
             # point-mode kernel (default): pre-expanded (N, 16) inputs
             from satnerf_tpu.ops.pallas.fused_mlp import fused_field_apply
 
@@ -212,10 +225,17 @@ class NeRFSystem:
     @property
     def _use_fused_product_render(self) -> bool:
         """Eval/serving can composite inside the kernel (fused_render_rays)
-        when the coarse-only SIREN path is active under --fused rays."""
-        return (self.cfg.fused == "rays"
-                and self.cfg.model in ("s-nerf", "sat-nerf")
-                and self.cfg.n_importance == 0)
+        when the coarse-only SIREN ray-mode path is active."""
+        return self.fused_mode == "rays" and self.cfg.n_importance == 0
+
+    @property
+    def _use_fused_train_render(self) -> bool:
+        """Training can composite inside the kernel too
+        (fused_train_render_rays, custom compositor VJP) on the coarse-only
+        SIREN ray-mode path. The solar-correction sun-ray pass stays on the
+        per-sample ray-mode field (its loss consumes per-sample
+        weights/transparency — docs/KERNEL_NOTES.md)."""
+        return self.fused_mode == "rays" and self.cfg.n_importance == 0
 
     def _fused_product_render(self, params, rays, ts, key) -> dict:
         """Render per-ray products entirely on-chip (expansion + field +
@@ -254,6 +274,54 @@ class NeRFSystem:
             res["beta_coarse"] = out["beta"][:, None, :]
         return res
 
+    def _fused_train_render(self, params, rays, ts, key, noise_std) -> dict:
+        """Training render with in-kernel compositing (expansion + field +
+        compositor in one Pallas kernel, custom VJP): the loss consumes only
+        per-ray quantities (rgb/depth/opacity + pre-integrated beta), so the
+        backward's incoming cotangent is (R, 16) instead of (R*S, 16).
+        Solar correction keeps its per-sample sun-ray pass."""
+        from satnerf_tpu.ops.pallas.fused_mlp import fused_train_render_rays
+        from satnerf_tpu.render.render import _run_field
+        from satnerf_tpu.render.sampling import stratified_zvals
+
+        cfg = self.cfg
+        rcfg = self.render_cfg
+        # same 6-way split as render_rays so the fused and XLA train paths
+        # draw identical z_vals / sigma noise / sc noise from the same key
+        # (fused-vs-unfused training then matches to kernel f32 noise)
+        k_z, k_noise, _, _, k_sc, _ = jax.random.split(key, 6)
+        rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+        near, far = rays[:, 6:7], rays[:, 7:8]
+        sun_d = rays[:, 8:11] if rays.shape[1] >= 11 else None
+        t_embed = self._embed_ts(params, ts)
+        z_vals = stratified_zvals(k_z, near, far, rcfg.n_samples, rcfg.perturb,
+                                  rcfg.use_disp)
+        noise = None
+        if noise_std is not None:
+            noise = noise_std * jax.random.normal(k_noise, z_vals.shape,
+                                                  jnp.float32)
+        out = fused_train_render_rays(
+            params["coarse"], rays_o, rays_d, sun_d, t_embed, z_vals, noise,
+            layers=cfg.fc_layers, feat=cfg.fc_units, skip=4,
+            use_beta=(cfg.model == "sat-nerf"), tau=cfg.t_embbeding_tau,
+            dtype=self.compute_dtype,
+        )
+        results = {
+            "rgb_coarse": out["rgb"],
+            "depth_coarse": out["depth"],
+            "opacity_coarse": out["opacity"],
+        }
+        if "beta" in out:
+            results["beta_ray_coarse"] = out["beta"]
+        if rcfg.solar_correction and sun_d is not None:
+            sc = _run_field(self.field_fns["coarse"], params["coarse"],
+                            rays_o, sun_d, None, sun_d, t_embed, z_vals,
+                            k_sc, noise_std, shadow=True)
+            results["weights_sc_coarse"] = sc["weights"]
+            results["transparency_sc_coarse"] = sc["transparency"]
+            results["sun_sc_coarse"] = sc["sun"]
+        return results
+
     # ------------------------------------------------------------- schedules
 
     def _noise_std(self, step):
@@ -268,8 +336,12 @@ class NeRFSystem:
         cfg = self.cfg
         k_render, k_depth = jax.random.split(key)
         noise_std = self._noise_std(step)
-        results = self.render(params, rays, ts, k_render, train=True,
-                              noise_std=noise_std)
+        if self._use_fused_train_render:
+            results = self._fused_train_render(params, rays, ts, k_render,
+                                               noise_std)
+        else:
+            results = self.render(params, rays, ts, k_render, train=True,
+                                  noise_std=noise_std)
 
         if cfg.model == "sat-nerf":
             loss_sat, _ = L.satnerf_loss(results, rgbs, cfg.sc_lambda)
@@ -284,8 +356,12 @@ class NeRFSystem:
 
         metrics = {"loss": loss}
         if self.depth and d_rays is not None:
-            d_results = self.render(params, d_rays, d_ts, k_depth, train=True,
-                                    noise_std=noise_std)
+            if self._use_fused_train_render:
+                d_results = self._fused_train_render(params, d_rays, d_ts,
+                                                     k_depth, noise_std)
+            else:
+                d_results = self.render(params, d_rays, d_ts, k_depth,
+                                        train=True, noise_std=noise_std)
             kp_depths = d_targets[:, 0]
             kp_weights = 1.0 if cfg.ds_noweights else d_targets[:, 1]
             loss_depth, _ = L.depth_loss(d_results, kp_depths, kp_weights,

@@ -1,0 +1,198 @@
+"""Fused TRAIN render kernel (expansion + field + compositing in one Pallas
+kernel with a custom compositor VJP) vs the flax field + render/composite.py
+XLA path — forward and per-parameter gradient equivalence, plus the
+end-to-end _loss_and_metrics wiring. Interpret mode on CPU.
+
+The backward derivation under test is docs/KERNEL_NOTES.md; semantics match
+the reference compositor (models/satnerf.py:44-79) and loss (metrics.py:21-25).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from satnerf_tpu.models import build_model
+from satnerf_tpu.ops.pallas import fused_mlp as FM
+from satnerf_tpu.render.composite import composite
+
+F, L, TAU = 32, 8, 4
+
+
+def _setup(variant="sat-nerf", R=24, S=16, seed=0, noise_std=0.1):
+    m = build_model(variant, L, F)
+    params = m.init(jax.random.PRNGKey(seed), jnp.zeros((2, 3)),
+                    sun_dir=jnp.zeros((2, 3)),
+                    t_embed=jnp.zeros((2, TAU)))["params"]
+    rng = np.random.RandomState(seed)
+    rays_o = jnp.array(rng.randn(R, 3).astype(np.float32) * 0.3)
+    rays_d = jnp.array(rng.randn(R, 3).astype(np.float32))
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=1, keepdims=True)
+    sun = jnp.array(rng.randn(R, 3).astype(np.float32))
+    sun = sun / jnp.linalg.norm(sun, axis=1, keepdims=True)
+    t_e = jnp.array(rng.randn(R, TAU).astype(np.float32))
+    z = jnp.sort(jnp.array(rng.rand(R, S).astype(np.float32)), axis=1)
+    noise = (jnp.array(rng.randn(R, S).astype(np.float32)) * noise_std
+             if noise_std else None)
+    gt = jnp.array(rng.rand(R, 3).astype(np.float32))
+    return m, params, rays_o, rays_d, sun, t_e, z, noise, gt
+
+
+def _ref_render(m, params, rays_o, rays_d, sun, t_e, z, noise, use_beta):
+    r, s = z.shape
+    xyz = rays_o[:, None, :] + rays_d[:, None, :] * z[:, :, None]
+    sd = jnp.broadcast_to(sun[:, None, :], xyz.shape)
+    tb = (jnp.broadcast_to(t_e[:, None, :], (r, s, TAU)) if use_beta else None)
+    out = m.apply({"params": params}, xyz, sun_dir=sd, t_embed=tb)
+    return composite(out, z, noise=noise, shadow=True)
+
+
+def _fused_render(params, rays_o, rays_d, sun, t_e, z, noise, use_beta):
+    return FM.fused_train_render_rays(
+        params, rays_o, rays_d, sun, t_e if use_beta else None, z, noise,
+        layers=L, feat=F, use_beta=use_beta, tau=TAU, dtype=jnp.float32,
+    )
+
+
+class TestForward:
+    @pytest.mark.parametrize("variant", ["sat-nerf", "s-nerf"])
+    def test_matches_xla_compositor(self, variant):
+        use_beta = variant == "sat-nerf"
+        m, params, ro, rd, sun, t_e, z, noise, _ = _setup(variant)
+        ref = _ref_render(m, params, ro, rd, sun, t_e, z, noise, use_beta)
+        with pltpu.force_tpu_interpret_mode():
+            out = _fused_render(params, ro, rd, sun, t_e, z, noise, use_beta)
+        w = ref["weights"]
+        np.testing.assert_allclose(out["rgb"], ref["rgb"], atol=2e-4)
+        np.testing.assert_allclose(out["depth"], ref["depth"], atol=2e-4)
+        np.testing.assert_allclose(out["opacity"], w.sum(-1), atol=2e-4)
+        for k, q in (("sun", ref["sun"]), ("sky", ref["sky"]),
+                     ("albedo", ref["albedo"])):
+            want = jnp.sum(w[..., None] * q, axis=-2)
+            np.testing.assert_allclose(out[k], want, atol=2e-4, err_msg=k)
+        if use_beta:
+            want = jnp.sum(w[..., None] * ref["beta"], axis=-2)
+            np.testing.assert_allclose(out["beta"], want, atol=2e-4)
+
+    def test_no_noise_and_ray_padding(self):
+        """noise=None and a ray count that is not a tile multiple."""
+        m, params, ro, rd, sun, t_e, z, _, _ = _setup(R=11, noise_std=0.0)
+        ref = _ref_render(m, params, ro, rd, sun, t_e, z, None, True)
+        with pltpu.force_tpu_interpret_mode():
+            out = _fused_render(params, ro, rd, sun, t_e, z, None, True)
+        np.testing.assert_allclose(out["rgb"], ref["rgb"], atol=2e-4)
+        np.testing.assert_allclose(out["depth"], ref["depth"], atol=2e-4)
+
+
+class TestGradients:
+    def _losses(self, m, gt, args):
+        """Matching losses over the XLA path (per-sample reductions) and the
+        fused path (pre-integrated per-ray outputs), touching EVERY output:
+        rgb (uncertainty-weighted), depth, opacity, sun, sky, albedo, beta."""
+        rays_o, rays_d, sun, z, noise = args
+
+        def loss_ref(p, te):
+            r = _ref_render(m, p, rays_o, rays_d, sun, te, z, noise, True)
+            w = r["weights"]
+            beta = jnp.sum(w[..., None] * r["beta"], axis=-2) + 0.05
+            l = jnp.mean((r["rgb"] - gt) ** 2 / (2 * beta**2))
+            l += (3 + jnp.mean(jnp.log(beta))) / 2
+            l += 0.3 * jnp.mean(r["depth"]) + 0.1 * jnp.mean(w.sum(-1))
+            for c, q in ((0.2, "sun"), (0.15, "sky"), (0.25, "albedo")):
+                l += c * jnp.mean(jnp.sum(w[..., None] * r[q], axis=-2))
+            return l
+
+        def loss_fused(p, te):
+            o = _fused_render(p, rays_o, rays_d, sun, te, z, noise, True)
+            beta = o["beta"] + 0.05
+            l = jnp.mean((o["rgb"] - gt) ** 2 / (2 * beta**2))
+            l += (3 + jnp.mean(jnp.log(beta))) / 2
+            l += 0.3 * jnp.mean(o["depth"]) + 0.1 * jnp.mean(o["opacity"])
+            for c, q in ((0.2, "sun"), (0.15, "sky"), (0.25, "albedo")):
+                l += c * jnp.mean(o[q])
+            return l
+
+        return loss_ref, loss_fused
+
+    def test_every_param_and_t_embed_grad(self):
+        m, params, ro, rd, sun, t_e, z, noise, gt = _setup()
+        loss_ref, loss_fused = self._losses(m, gt, (ro, rd, sun, z, noise))
+        g_ref = jax.grad(loss_ref, argnums=(0, 1))(params, t_e)
+        with pltpu.force_tpu_interpret_mode():
+            g_fus = jax.grad(loss_fused, argnums=(0, 1))(params, t_e)
+        for (path, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref[0]),
+            jax.tree_util.tree_leaves(g_fus[0]),
+        ):
+            scale = max(float(jnp.abs(a).max()), 1e-6)
+            np.testing.assert_allclose(
+                np.asarray(b) / scale, np.asarray(a) / scale, atol=5e-4,
+                err_msg=f"param grad {jax.tree_util.keystr(path)}",
+            )
+        scale = max(float(jnp.abs(g_ref[1]).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(g_fus[1]) / scale,
+                                   np.asarray(g_ref[1]) / scale, atol=5e-4,
+                                   err_msg="t_embed grad")
+
+    def test_loss_values_match(self):
+        m, params, ro, rd, sun, t_e, z, noise, gt = _setup()
+        loss_ref, loss_fused = self._losses(m, gt, (ro, rd, sun, z, noise))
+        l_ref = float(loss_ref(params, t_e))
+        with pltpu.force_tpu_interpret_mode():
+            l_fus = float(loss_fused(params, t_e))
+        assert abs(l_ref - l_fus) < 1e-4
+
+
+class TestSystemWiring:
+    """_loss_and_metrics through the fused train-render branch must equal the
+    XLA branch: same key -> same z/noise draws, so loss and grads match to
+    kernel f32 noise. Covers beta warm-up (snerf loss on fused outputs), the
+    beta_ray loss contract, solar correction, and the depth branch."""
+
+    def test_loss_and_grads_match_unfused(self, rng, eight_devices):
+        from satnerf_tpu.config import Config
+        from satnerf_tpu.train.system import NeRFSystem
+
+        kw = dict(model="sat-nerf", batch_size=64, fc_units=F, fc_layers=L,
+                  n_samples=8, max_train_steps=100, sc_lambda=0.05,
+                  ds_lambda=100.0, noise_std=1.0)
+        sys_f = NeRFSystem(Config(fused="rays", **kw), dataset_len=512)
+        sys_o = NeRFSystem(Config(fused="off", **kw), dataset_len=512)
+        assert sys_f._use_fused_train_render
+        assert not sys_o._use_fused_train_render
+        params = sys_o.init_params(jax.random.PRNGKey(0))
+
+        n = 64
+        rays = rng.rand(n, 11).astype(np.float32)
+        rays[:, 3:6] /= np.linalg.norm(rays[:, 3:6], axis=1, keepdims=True)
+        rays[:, 6], rays[:, 7] = 0.0, 1.0
+        rgbs = jnp.array(rng.rand(n, 3).astype(np.float32))
+        ts = jnp.array(rng.randint(0, 5, n).astype(np.int32))
+        rays = jnp.array(rays)
+        d_targets = jnp.array(rng.rand(16, 2).astype(np.float32))
+        d_rays, d_ts = rays[:16], ts[:16]
+        key = jax.random.PRNGKey(3)
+
+        def run(system, step):
+            def f(p):
+                return system._loss_and_metrics(
+                    p, rays, rgbs, ts, key, jnp.asarray(step, jnp.int32),
+                    d_rays, d_targets, d_ts,
+                )
+            return jax.value_and_grad(f, has_aux=True)(params)
+
+        for step in (0, 50):  # 0 = snerf warm-up loss, 50 = full satnerf loss
+            (l_o, _), g_o = run(sys_o, step)
+            with pltpu.force_tpu_interpret_mode():
+                (l_f, _), g_f = run(sys_f, step)
+            np.testing.assert_allclose(float(l_f), float(l_o), atol=1e-4)
+            for (path, a), b in zip(
+                jax.tree_util.tree_leaves_with_path(g_o),
+                jax.tree_util.tree_leaves(g_f),
+            ):
+                scale = max(float(jnp.abs(a).max()), 1e-6)
+                np.testing.assert_allclose(
+                    np.asarray(b) / scale, np.asarray(a) / scale, atol=1e-3,
+                    err_msg=f"step {step}: {jax.tree_util.keystr(path)}",
+                )
