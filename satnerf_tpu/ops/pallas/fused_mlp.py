@@ -1422,3 +1422,225 @@ def fused_train_render_rays(params: dict, rays_o, rays_d, sun_dir, t_embed,
     if use_beta:
         res["beta"] = out[:, 8:9]
     return res
+
+
+# ------------------------------------------- fully fused train step (loss-in)
+#
+# One kernel for the whole primary-pass gradient computation: expansion +
+# field + compositing + LOSS + loss adjoint + compositor adjoint + field
+# backward. With the loss cotangents computed in-kernel from the ground-truth
+# rgb, the separate forward pallas_call (and its HBM round trip) disappears —
+# the step's device time collapses to a single backward-shaped kernel
+# (profiled round 2: fwd 156 ms + bwd 462 ms -> ~462 ms total at batch 64k).
+#
+# Loss semantics (train/losses.py, reference metrics.py:8-73), per-ray:
+#   warm  (S-NeRF):  mse = mean_rc (rgb - gt)^2
+#   sat   (Sat-NeRF): color = mean_rc (rgb - gt)^2 / (2 beta^2),
+#                     logbeta = (3 + mean_r log beta) / 2,
+#                     beta = integrated_beta + beta_min
+#   main loss = wmix * (color + logbeta) + (1 - wmix) * mse
+# where wmix is the traced beta warm-up gate (epoch >= first_beta_epoch).
+# Solar-correction and depth-supervision terms come from separate passes and
+# their grads ADD — they stay outside this kernel (train/system.py).
+
+
+def _make_train_loss_bwd_kernel(layers, skip, use_beta, rgb_padding, dtype,
+                                tau, beta_min, n_total, tile_r):
+    def kernel(scal_ref, rays_ref, z_ref, noise_ref, gt_ref, *refs):
+        names = [k for k in _PACKED_ORDER
+                 if use_beta or not k.startswith(("Wbeta", "bbeta"))]
+        n_w = len(names)
+        w = {k: r[...] for k, r in zip(names, refs[:n_w])}
+        loss_ref = refs[n_w]
+        din_ref = refs[n_w + 1]
+        grad_refs = {k: r for k, r in zip(names, refs[n_w + 2:])}
+
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            loss_ref[...] = jnp.zeros(loss_ref.shape, loss_ref.dtype)
+            for k in names:
+                grad_refs[k][...] = jnp.zeros(
+                    grad_refs[k].shape, grad_refs[k].dtype
+                )
+
+        z = z_ref[...]
+        r_rows, s = z.shape
+        noise = noise_ref[...]
+        xin = _expand_rays(rays_ref[...], z, tau)
+
+        # one forward recompute serves the loss, the compositor adjoint, and
+        # the field backprop
+        h, trunk_save, hs = _fwd_saves(xin, w, layers, skip, use_beta,
+                                       rgb_padding, dtype)
+        rgb_pt = hs["rgb_s"][:, 0:3] * (1 + 2 * rgb_padding) - rgb_padding
+        sigma = jax.nn.softplus(hs["sigma_pre"][:, 0:1])
+        sunv = hs["sunv"][:, 0:1]
+        sky = hs["sky"][:, 0:3]
+        beta_pt = hs["beta"][:, 0:1] if use_beta else None
+
+        sel, onehot = _sample_onehot(r_rows, s)
+        out = _composite_tile(sel, onehot, z, rgb_pt, sigma, sunv, sky,
+                              beta_pt, use_beta, noise=noise)
+        rgb_ray = out[:, 0:3]  # clipped, like the XLA path's rgb_coarse
+
+        # ---- loss + adjoint (masked against ray padding)
+        gi = (step * tile_r
+              + jax.lax.broadcasted_iota(jnp.int32, (r_rows, 1), 0))
+        valid = (gi < n_total).astype(jnp.float32)
+        gt = gt_ref[:, 0:3]
+        diff = rgb_ray - gt
+        sq = jnp.sum(diff * diff, axis=1, keepdims=True)       # (R, 1)
+        inv3n = 1.0 / (3.0 * n_total)
+        invn = 1.0 / n_total
+        wmix = scal_ref[0, 0]
+
+        s_mse = jnp.sum(valid * sq)
+        if use_beta:
+            beta_l = out[:, 8:9] + beta_min
+            inv_b2 = 1.0 / (beta_l * beta_l)
+            s_sat = jnp.sum(valid * 0.5 * sq * inv_b2)
+            s_logb = jnp.sum(valid * jnp.log(beta_l))
+            g_rgb = valid * diff * (wmix * inv_b2 * inv3n
+                                    + (1.0 - wmix) * 2.0 * inv3n)
+            g_beta = valid * wmix * (0.5 * invn / beta_l
+                                     - sq * inv_b2 / beta_l * inv3n)
+        else:
+            s_sat = jnp.zeros((), jnp.float32)
+            s_logb = jnp.zeros((), jnp.float32)
+            g_rgb = valid * diff * (2.0 * inv3n)
+            g_beta = jnp.zeros((r_rows, 1), jnp.float32)
+
+        ri8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        ci8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        zero8 = jnp.zeros((8, 128), jnp.float32)
+        loss_ref[...] += (
+            jnp.where((ri8 == 0) & (ci8 == 0), s_sat, zero8)
+            + jnp.where((ri8 == 0) & (ci8 == 1), s_logb, zero8)
+            + jnp.where((ri8 == 0) & (ci8 == 2), s_mse, zero8)
+        )
+
+        # ---- per-ray cotangent in the fused-render output layout; the clip
+        # mask is applied inside _composite_bwd_tile
+        g_ray = jnp.concatenate(
+            [g_rgb, jnp.zeros((r_rows, 5), jnp.float32), g_beta,
+             jnp.zeros((r_rows, OUT_COLS - 9), jnp.float32)], axis=-1
+        )
+        g_pt = _composite_bwd_tile(sel, onehot, z, noise, rgb_pt, sigma,
+                                   sunv, sky, beta_pt, g_ray, use_beta)
+        d_in = _point_bwd_from_saves(xin, g_pt, w, grad_refs, h, trunk_save,
+                                     hs, layers, skip, use_beta, rgb_padding,
+                                     dtype)
+        d_ray = _dot_t_lhs(sel, d_in)
+        ri16 = jax.lax.broadcasted_iota(jnp.int32, (IN_COLS, IN_COLS), 0)
+        ci16 = jax.lax.broadcasted_iota(jnp.int32, (IN_COLS, IN_COLS), 1)
+        shift_back = ((ri16 == ci16 - 3) & (ci16 >= 9)
+                      & (ci16 < 9 + tau)).astype(jnp.float32)
+        din_ref[...] = _dot(d_ray, shift_back)
+
+    return kernel
+
+
+def fused_train_loss_grads(params: dict, rays_o, rays_d, sun_dir, t_embed,
+                           z_vals, noise, gt_rgb, use_beta_w, *,
+                           layers: int = 8, feat: int = 512, skip: int = 4,
+                           use_beta: bool = True, rgb_padding: float = 0.001,
+                           beta_min: float = 0.05, tau: int = 4,
+                           dtype=jnp.bfloat16):
+    """Primary-pass loss + gradients in ONE kernel launch.
+
+    Returns (parts, param_grads, t_grad):
+      parts: {"color_sat", "logbeta", "mse"} scalar loss components (the
+             caller mixes them with the warm-up gate and adds sc/depth terms)
+      param_grads: flax pytree cotangent for `params` (the main loss'
+             gradient of wmix*(color_sat+logbeta) + (1-wmix)*mse)
+      t_grad: (R, tau) per-ray t-embedding gradient (scatter-add to the
+             embedding table by ray image id outside).
+    `use_beta_w` is the traced warm-up mix; ignored when use_beta=False.
+    """
+    r, s = z_vals.shape
+    t_part = (t_embed.astype(jnp.float32) if (t_embed is not None and use_beta)
+              else jnp.zeros((r, tau), jnp.float32))
+    rays16 = jnp.concatenate(
+        [rays_o.astype(jnp.float32), rays_d.astype(jnp.float32),
+         (sun_dir.astype(jnp.float32) if sun_dir is not None
+          else jnp.zeros((r, 3), jnp.float32)),
+         t_part, jnp.zeros((r, IN_COLS - 9 - tau), jnp.float32)], axis=-1,
+    )
+    z = z_vals.astype(jnp.float32)
+    if noise is None:
+        noise = jnp.zeros((r, s), jnp.float32)
+    gt16 = jnp.concatenate(
+        [gt_rgb.astype(jnp.float32),
+         jnp.zeros((r, IN_COLS - 3), jnp.float32)], axis=-1,
+    )
+    packed = pack_params(params, layers, feat, skip, use_beta, tau, dtype)
+    plist = _order(packed)
+    names = [k for k in _PACKED_ORDER
+             if use_beta or not k.startswith(("Wbeta", "bbeta"))]
+
+    tile_r = max(8, (BWD_TILE // s) // 8 * 8)
+    r_pad = ((r + tile_r - 1) // tile_r) * tile_r
+    if r_pad != r:
+        rays16 = jnp.pad(rays16, ((0, r_pad - r), (0, 0)))
+        z = jnp.pad(z, ((0, r_pad - r), (0, 0)), constant_values=1.0)
+        noise = jnp.pad(noise, ((0, r_pad - r), (0, 0)))
+        gt16 = jnp.pad(gt16, ((0, r_pad - r), (0, 0)))
+    scal = jnp.reshape(jnp.asarray(use_beta_w, jnp.float32), (1, 1))
+
+    kernel = _make_train_loss_bwd_kernel(layers, skip, use_beta, rgb_padding,
+                                         dtype, tau, beta_min, r, tile_r)
+    w_specs = [
+        pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for p in plist
+    ]
+    grad_specs = [
+        pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for p in plist
+    ]
+    loss_acc, din, *grads = pl.pallas_call(
+        kernel,
+        grid=(r_pad // tile_r,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_r, IN_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_r, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_r, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_r, IN_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=(
+            pl.BlockSpec((8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_r, IN_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *grad_specs,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, IN_COLS), jnp.float32),
+            *(jax.ShapeDtypeStruct(p.shape, jnp.float32)
+              for p in plist),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024
+        ),
+    )(scal, rays16, z, noise, gt16, *plist)
+
+    parts = {
+        "color_sat": loss_acc[0, 0] / (3.0 * r),
+        "logbeta": (3.0 + loss_acc[0, 1] / r) / 2.0,
+        "mse": loss_acc[0, 2] / (3.0 * r),
+    }
+    g_named = dict(zip(names, grads))
+    param_grads = unpack_grads(g_named, params, layers, feat, skip, use_beta)
+    t_grad = din[:r, 9:9 + tau]
+    return parts, param_grads, t_grad

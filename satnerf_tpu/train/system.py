@@ -237,6 +237,14 @@ class NeRFSystem:
         weights/transparency — docs/KERNEL_NOTES.md)."""
         return self.fused_mode == "rays" and self.cfg.n_importance == 0
 
+    @property
+    def _use_fused_train_loss(self) -> bool:
+        """The primary pass goes further on the same gate: loss + loss
+        adjoint + compositor adjoint + field backward in ONE kernel
+        (fused_train_loss_grads) — no separate forward launch. sc/depth
+        terms run as separate passes whose grads add."""
+        return self._use_fused_train_render
+
     def _fused_product_render(self, params, rays, ts, key) -> dict:
         """Render per-ray products entirely on-chip (expansion + field +
         compositing in one Pallas kernel) and repack them in the
@@ -376,6 +384,104 @@ class NeRFSystem:
         metrics["loss_total"] = loss
         return loss, metrics
 
+    def _fused_loss_and_grads(self, params, rays, rgbs, ts, key, step,
+                              d_rays=None, d_targets=None, d_ts=None):
+        """((loss, metrics), grads) for the fully fused primary pass — the
+        drop-in replacement for value_and_grad(_loss_and_metrics): the main
+        loss' gradient comes straight out of one kernel launch
+        (fused_train_loss_grads); solar-correction and depth-supervision
+        terms are separate render passes under value_and_grad whose grads
+        add (gradients are additive across loss terms)."""
+        from satnerf_tpu.ops.pallas.fused_mlp import fused_train_loss_grads
+        from satnerf_tpu.render.sampling import stratified_zvals
+        from satnerf_tpu.train.losses import BETA_MIN
+
+        cfg = self.cfg
+        rcfg = self.render_cfg
+        k_render, k_depth = jax.random.split(key)
+        k_z, k_noise, _, _, k_sc, _ = jax.random.split(k_render, 6)
+        noise_std = self._noise_std(step)
+        rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+        near, far = rays[:, 6:7], rays[:, 7:8]
+        sun_d = rays[:, 8:11] if rays.shape[1] >= 11 else None
+        z_vals = stratified_zvals(k_z, near, far, rcfg.n_samples,
+                                  rcfg.perturb, rcfg.use_disp)
+        noise = None
+        if noise_std is not None:
+            noise = noise_std * jax.random.normal(k_noise, z_vals.shape,
+                                                  jnp.float32)
+        t_embed = self._embed_ts(params, ts)
+
+        sat = cfg.model == "sat-nerf"
+        if sat:
+            epoch = step // self.spe
+            wmix = (epoch >= cfg.first_beta_epoch).astype(jnp.float32)
+        else:
+            wmix = jnp.zeros((), jnp.float32)
+
+        parts, g_coarse, d_t = fused_train_loss_grads(
+            params["coarse"], rays_o, rays_d, sun_d, t_embed, z_vals, noise,
+            rgbs, wmix, layers=cfg.fc_layers, feat=cfg.fc_units, skip=4,
+            use_beta=sat, beta_min=BETA_MIN, tau=cfg.t_embbeding_tau,
+            dtype=self.compute_dtype,
+        )
+        if sat:
+            loss = (wmix * (parts["color_sat"] + parts["logbeta"])
+                    + (1.0 - wmix) * parts["mse"])
+        else:
+            loss = parts["mse"]
+        grads = {"coarse": g_coarse}
+        if self.use_ts:
+            grads["t"] = {"embedding": jax.ops.segment_sum(
+                d_t, ts, num_segments=cfg.t_embbeding_vocab
+            )}
+
+        metrics = {}
+        need_sc = rcfg.solar_correction and sun_d is not None
+        need_depth = self.depth and d_rays is not None
+        if need_sc or need_depth:
+            def aux_fn(p):
+                aux_in_main = jnp.zeros((), jnp.float32)  # sc: part of "loss"
+                aux_extra = jnp.zeros((), jnp.float32)    # depth: added after
+                m = {}
+                if need_sc:
+                    from satnerf_tpu.render.render import _run_field
+                    t_e = self._embed_ts(p, ts)
+                    sc = _run_field(self.field_fns["coarse"], p["coarse"],
+                                    rays_o, sun_d, None, sun_d, t_e, z_vals,
+                                    k_sc, noise_std, shadow=True)
+                    res = {"weights_sc_coarse": sc["weights"],
+                           "transparency_sc_coarse": sc["transparency"],
+                           "sun_sc_coarse": sc["sun"]}
+                    t2, t3 = L.solar_correction_terms(res, "coarse",
+                                                      cfg.sc_lambda)
+                    aux_in_main = aux_in_main + t2 + t3
+                if need_depth:
+                    d_res = self._fused_train_render(p, d_rays, d_ts,
+                                                     k_depth, noise_std)
+                    kp_d = d_targets[:, 0]
+                    kp_w = 1.0 if cfg.ds_noweights else d_targets[:, 1]
+                    ld, _ = L.depth_loss(d_res, kp_d, kp_w, cfg.ds_lambda)
+                    active = (step < self.ds_drop_step).astype(jnp.float32)
+                    aux_extra = aux_extra + active * ld
+                    m["loss_depth"] = ld
+                return aux_in_main + aux_extra, (aux_in_main, m)
+
+            (aux_total, (sc_part, aux_m)), aux_grads = jax.value_and_grad(
+                aux_fn, has_aux=True
+            )(params)
+            metrics.update(aux_m)
+            metrics["loss"] = loss + sc_part  # main loss incl. sc, pre-depth
+            loss = loss + aux_total
+            grads = jax.tree_util.tree_map(lambda a, b: a + b, grads,
+                                           aux_grads)
+        else:
+            metrics["loss"] = loss
+
+        metrics["psnr"] = -10.0 * jnp.log10(parts["mse"])
+        metrics["loss_total"] = loss
+        return (loss, metrics), grads
+
     def make_train_step(self):
         """Build the sharded, jitted train step.
 
@@ -409,15 +515,21 @@ class NeRFSystem:
                 bd_targets = d_depths[didx]
                 bd_ts = d_ts[didx]
 
-            def loss_fn(params):
-                return self._loss_and_metrics(
-                    params, b_rays, b_rgbs, b_ts, k_loss, state.step,
+            if self._use_fused_train_loss:
+                (loss, metrics), grads = self._fused_loss_and_grads(
+                    state.params, b_rays, b_rgbs, b_ts, k_loss, state.step,
                     bd_rays, bd_targets, bd_ts,
                 )
+            else:
+                def loss_fn(params):
+                    return self._loss_and_metrics(
+                        params, b_rays, b_rgbs, b_ts, k_loss, state.step,
+                        bd_rays, bd_targets, bd_ts,
+                    )
 
-            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params
-            )
+                (loss, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params)
             grads = jax.lax.pmean(grads, DATA_AXIS)
             metrics = jax.lax.pmean(metrics, DATA_AXIS)
 

@@ -196,3 +196,101 @@ class TestSystemWiring:
                     np.asarray(b) / scale, np.asarray(a) / scale, atol=1e-3,
                     err_msg=f"step {step}: {jax.tree_util.keystr(path)}",
                 )
+
+
+class TestFusedLossGrads:
+    """The single-kernel train step (loss + adjoints + field backward in one
+    launch, _fused_loss_and_grads) must reproduce value_and_grad over the XLA
+    path: loss value, every metric, the exact grads-tree structure, and every
+    parameter gradient — across warm-up / sc / depth-supervision states."""
+
+    @pytest.mark.parametrize("variant", ["sat-nerf", "s-nerf"])
+    def test_matches_value_and_grad(self, rng, eight_devices, variant):
+        from satnerf_tpu.config import Config
+        from satnerf_tpu.train.system import NeRFSystem
+
+        kw = dict(model=variant, batch_size=64, fc_units=F, fc_layers=L,
+                  n_samples=8, max_train_steps=100, sc_lambda=0.05,
+                  ds_lambda=100.0, noise_std=1.0)
+        sys_f = NeRFSystem(Config(fused="rays", **kw), dataset_len=512)
+        sys_o = NeRFSystem(Config(fused="off", **kw), dataset_len=512)
+        assert sys_f._use_fused_train_loss
+        params = sys_o.init_params(jax.random.PRNGKey(0))
+
+        n = 64
+        rays = rng.rand(n, 11).astype(np.float32)
+        rays[:, 3:6] /= np.linalg.norm(rays[:, 3:6], axis=1, keepdims=True)
+        rays[:, 6], rays[:, 7] = 0.0, 1.0
+        rays = jnp.array(rays)
+        rgbs = jnp.array(rng.rand(n, 3).astype(np.float32))
+        ts = jnp.array(rng.randint(0, 5, n).astype(np.int32))
+        d_targets = jnp.array(rng.rand(16, 2).astype(np.float32))
+        d_rays, d_ts = rays[:16], ts[:16]
+        key = jax.random.PRNGKey(3)
+
+        for step in (0, 50):
+            st = jnp.asarray(step, jnp.int32)
+
+            def f(p):
+                return sys_o._loss_and_metrics(p, rays, rgbs, ts, key, st,
+                                               d_rays, d_targets, d_ts)
+
+            (l_o, m_o), g_o = jax.value_and_grad(f, has_aux=True)(params)
+            with pltpu.force_tpu_interpret_mode():
+                (l_f, m_f), g_f = sys_f._fused_loss_and_grads(
+                    params, rays, rgbs, ts, key, st, d_rays, d_targets, d_ts)
+
+            np.testing.assert_allclose(float(l_f), float(l_o), atol=1e-4)
+            for mk in ("loss", "psnr", "loss_depth", "loss_total"):
+                np.testing.assert_allclose(float(m_f[mk]), float(m_o[mk]),
+                                           atol=1e-3, err_msg=mk)
+            assert (jax.tree_util.tree_structure(g_o)
+                    == jax.tree_util.tree_structure(g_f))
+            for (path, a), b in zip(
+                jax.tree_util.tree_leaves_with_path(g_o),
+                jax.tree_util.tree_leaves(g_f),
+            ):
+                scale = max(float(jnp.abs(a).max()), 1e-6)
+                np.testing.assert_allclose(
+                    np.asarray(b) / scale, np.asarray(a) / scale, atol=1e-3,
+                    err_msg=f"step {step}: {jax.tree_util.keystr(path)}",
+                )
+
+    def test_ray_padding_masked(self, rng, eight_devices):
+        """A ray count that is not a tile multiple: padded rays must
+        contribute nothing to loss or grads."""
+        from satnerf_tpu.config import Config
+        from satnerf_tpu.train.system import NeRFSystem
+
+        kw = dict(model="sat-nerf", batch_size=64, fc_units=F, fc_layers=L,
+                  n_samples=8, max_train_steps=100, sc_lambda=0.0,
+                  noise_std=0.0)
+        sys_f = NeRFSystem(Config(fused="rays", **kw), dataset_len=512)
+        sys_o = NeRFSystem(Config(fused="off", **kw), dataset_len=512)
+        params = sys_o.init_params(jax.random.PRNGKey(0))
+        n = 19  # not a multiple of the backward ray tile
+        rays = rng.rand(n, 11).astype(np.float32)
+        rays[:, 3:6] /= np.linalg.norm(rays[:, 3:6], axis=1, keepdims=True)
+        rays[:, 6], rays[:, 7] = 0.0, 1.0
+        rays = jnp.array(rays)
+        rgbs = jnp.array(rng.rand(n, 3).astype(np.float32))
+        ts = jnp.array(rng.randint(0, 5, n).astype(np.int32))
+        key, st = jax.random.PRNGKey(3), jnp.asarray(60, jnp.int32)
+
+        def f(p):
+            return sys_o._loss_and_metrics(p, rays, rgbs, ts, key, st)
+
+        (l_o, _), g_o = jax.value_and_grad(f, has_aux=True)(params)
+        with pltpu.force_tpu_interpret_mode():
+            (l_f, _), g_f = sys_f._fused_loss_and_grads(params, rays, rgbs,
+                                                        ts, key, st)
+        np.testing.assert_allclose(float(l_f), float(l_o), atol=1e-4)
+        for (path, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(g_o),
+            jax.tree_util.tree_leaves(g_f),
+        ):
+            scale = max(float(jnp.abs(a).max()), 1e-6)
+            np.testing.assert_allclose(
+                np.asarray(b) / scale, np.asarray(a) / scale, atol=1e-3,
+                err_msg=jax.tree_util.keystr(path),
+            )
