@@ -41,6 +41,10 @@ def main():
     from satnerf_tpu.config import Config
     from satnerf_tpu.parallel.mesh import make_mesh, shard_rays
     from satnerf_tpu.train.system import NeRFSystem
+    from satnerf_tpu.utils.flops import (V5E_PEAK_BF16, V5E_PEAK_F32,
+                                         flops_per_ray)
+
+    peak = V5E_PEAK_BF16 if PRECISION == "bfloat16" else V5E_PEAK_F32
 
     cfg = Config(model=MODEL, fc_units=512, fc_layers=8, n_samples=64,
                  batch_size=BATCH, sc_lambda=0.0, max_train_steps=300000,
@@ -78,11 +82,15 @@ def main():
         float(out["rgb_coarse"].sum())
         dt = time.perf_counter() - t0
         per_chip = BATCH * STEPS / dt / n_chips
+        fpr = flops_per_ray(MODEL, cfg.fc_layers, cfg.fc_units,
+                            cfg.n_samples, mode="render")
         print(json.dumps({
             "metric": "render_rays_per_sec_per_chip",
             "value": round(per_chip, 1),
             "unit": "rays/s",
             "vs_baseline": round(per_chip / 5e6, 4),
+            "flops_per_ray": round(fpr / 1e6, 2),
+            "mfu": round(per_chip * fpr / peak, 4),
         }))
         return
 
@@ -107,11 +115,15 @@ def main():
 
     rays_per_sec = BATCH * STEPS / dt
     per_chip = rays_per_sec / n_chips
+    fpr = flops_per_ray(MODEL, cfg.fc_layers, cfg.fc_units, cfg.n_samples,
+                        mode="train")
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
         "value": round(per_chip, 1),
         "unit": "rays/s",
         "vs_baseline": round(per_chip / 5e6, 4),
+        "flops_per_ray": round(fpr / 1e6, 2),
+        "mfu": round(per_chip * fpr / peak, 4),
     }))
 
 

@@ -156,3 +156,35 @@ class TestDsmMetricResample:
         np.testing.assert_allclose(out[0, 0], 3.0)  # inside the 3.0 quadrant
         np.testing.assert_allclose(out[3, 3], 7.0)
         assert abs(oprof.transform.a) == 2.0
+
+
+class TestFlopsModel:
+    """The analytic MAC count (utils/flops.py) must equal the sum of Dense
+    kernel sizes of the actual flax field — one MAC per kernel entry per
+    point."""
+
+    @pytest.mark.parametrize("variant,feat", [("sat-nerf", 512),
+                                              ("s-nerf", 512),
+                                              ("nerf", 256)])
+    def test_macs_match_param_shapes(self, variant, feat):
+        import jax
+        import jax.numpy as jnp
+
+        from satnerf_tpu.models import build_model
+        from satnerf_tpu.utils.flops import field_macs_per_point
+
+        m = build_model(variant, 8, feat)
+        kw = {}
+        if variant == "nerf":
+            kw = dict(view_dir=jnp.zeros((2, 3)))
+        else:
+            kw = dict(sun_dir=jnp.zeros((2, 3)))
+            if variant == "sat-nerf":
+                kw["t_embed"] = jnp.zeros((2, 4))
+        params = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)), **kw)["params"]
+        kernel_macs = sum(
+            int(np.prod(leaf.shape))
+            for path, leaf in jax.tree_util.tree_leaves_with_path(params)
+            if "kernel" in jax.tree_util.keystr(path)
+        )
+        assert field_macs_per_point(variant, 8, feat) == kernel_macs
