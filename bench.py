@@ -75,11 +75,17 @@ def main():
         k = jax.random.PRNGKey(1)
         out = render(state.params, r, t, k)
         float(out["rgb_coarse"].sum())
+
+        # pipelined serving: batches stay in flight, completion is forced by
+        # a device-side scalar dependency chain fetched ONCE at the end
+        # (block_until_ready lies on the tunneled runtime — CLAUDE.md)
+        acc = jax.jit(lambda s, o: s + o["rgb_coarse"].sum())
+        s = jnp.zeros(())
         t0 = time.perf_counter()
         for _ in range(STEPS):
             out = render(state.params, r, t, k)
-            jax.block_until_ready(out["rgb_coarse"])
-        float(out["rgb_coarse"].sum())
+            s = acc(s, out)
+        assert np.isfinite(float(s))
         dt = time.perf_counter() - t0
         per_chip = BATCH * STEPS / dt / n_chips
         fpr = flops_per_ray(MODEL, cfg.fc_layers, cfg.fc_units,

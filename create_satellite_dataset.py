@@ -88,9 +88,25 @@ def run_ba(img_dir: str, output_dir: str):
         os.path.join(ba_params_dir, "geotiff_paths.txt"), fnames)
 
 
-def _load_sun_metadata(img_id: str, img_dir: str, sun_meta: str | None):
-    """Sun elevation/azimuth + acquisition date for an image: sidecar json,
-    shared table, or a documented default."""
+def _load_sun_metadata(img_id: str, img_dir: str, sun_meta: str | None,
+                       image_tags: dict | None = None):
+    """Sun elevation/azimuth + acquisition date for an image.
+
+    Priority: NITF-style GDAL metadata tags embedded in the image itself
+    (what the reference reads via rasterio src.tags() from the remote MSI
+    files, /root/reference/create_satellite_dataset.py:104-123 — our GeoTIFF
+    stack parses tag 42112), then a `{img_id}.sun.json` sidecar, then a
+    shared `--sun_meta` table, then a documented default."""
+    if image_tags:
+        el = image_tags.get("NITF_USE00A_SUN_EL")
+        az = image_tags.get("NITF_USE00A_SUN_AZ")
+        if el is not None and az is not None:
+            out = {"sun_elevation": float(el), "sun_azimuth": float(az),
+                   "sun_metadata_source": "image_tags"}
+            date = image_tags.get("NITF_STDIDC_ACQUISITION_DATE")
+            if date is not None:
+                out["acquisition_date"] = str(date)
+            return out
     sidecar = os.path.join(img_dir, img_id + ".sun.json")
     if os.path.exists(sidecar):
         with open(sidecar) as f:
@@ -140,7 +156,8 @@ def create_dataset_from_DFC2019_data(aoi_id: str, img_dir: str, dfc_dir: str,
         d["height"] = int(g.data.shape[1])
         d["width"] = int(g.data.shape[2])
 
-        sun = _load_sun_metadata(img_id, img_dir, sun_meta)
+        sun = _load_sun_metadata(img_id, img_dir, sun_meta,
+                                 image_tags=g.tags)
         d.update({k: sun[k] for k in ("sun_elevation", "sun_azimuth",
                                       "acquisition_date") if k in sun})
         if "sun_metadata_source" in sun:
@@ -258,8 +275,9 @@ def crop_geotiff_lonlat_aoi(geotiff_path: str, output_path: str, lonlat_aoi,
     out_rpc = rpc.to_dict()
     out_rpc["row_offset"] -= y0
     out_rpc["col_offset"] -= x0
-    # embed the shifted RPC as a TIFF tag and keep a json sidecar
-    write_geotiff(output_path, crop, prof, rpc=out_rpc)
+    # embed the shifted RPC as a TIFF tag and keep a json sidecar; carry the
+    # source's GDAL metadata (NITF sun angles / acquisition date) along
+    write_geotiff(output_path, crop, prof, rpc=out_rpc, tags=g.tags)
     with open(os.path.splitext(output_path)[0] + ".rpc.json", "w") as f:
         json.dump(out_rpc, f, indent=2)
 

@@ -27,7 +27,8 @@ def eval_aoi(run_id: str, logs_dir: str, output_dir: str, epoch_number: int,
     from satnerf_tpu.eval.dsm_metrics import compute_mae_and_save_dsm_diff
     from satnerf_tpu.eval.images import save_nerf_output_to_images
     from satnerf_tpu.eval.loader import load_nerf, load_run_config
-    from satnerf_tpu.eval.val_ts import predefined_val_ts
+    from satnerf_tpu.eval.val_ts import (find_best_embedding_for_val_image,
+                                         predefined_val_ts)
     from satnerf_tpu.ops.ssim import psnr as psnr_np
     from satnerf_tpu.ops.ssim import ssim as ssim_np
 
@@ -51,19 +52,15 @@ def eval_aoi(run_id: str, logs_dir: str, output_dir: str, epoch_number: int,
     epoch_to_load = epoch_number
     if not os.path.exists(checkpoint_path(checkpoints_dir, run_id, epoch_to_load)):
         epoch_to_load = epoch_number - 1
+    resolved = checkpoint_path(checkpoints_dir, run_id, epoch_to_load)
+    print(f"loading checkpoint: {resolved}")
     system, params = load_nerf(run_id, logs_dir, checkpoints_dir, epoch_to_load)
 
-    dataset = SatelliteScene(cfg.root_dir, cfg.img_dir, split="val",
+    dataset = SatelliteScene(cfg.root_dir, cfg.img_dir,
+                             split="eval_train" if split == "train" else "val",
                              img_downscale=cfg.img_downscale,
                              cache_dir=cfg.cache_dir)
     if split == "train":
-        with open(os.path.join(cfg.root_dir, "train.txt")) as f:
-            names = [s for s in f.read().split("\n") if s.strip()]
-        from satnerf_tpu.data.satellite import ImageRecord, read_dict_from_json, get_file_id
-
-        dataset.json_files = [os.path.join(cfg.root_dir, n) for n in names]
-        dataset.records = [dataset._record(p, i)
-                           for i, p in enumerate(dataset.json_files)]
         samples_to_eval = np.arange(0, len(dataset.records))
     else:
         samples_to_eval = np.arange(1, len(dataset.records))
@@ -80,7 +77,17 @@ def eval_aoi(run_id: str, logs_dir: str, output_dir: str, epoch_number: int,
             if split == "val":
                 t = predefined_val_ts(src_id)
                 if t is None:
-                    t = 0
+                    # unseen AOI: brute-force the best-PSNR train embedding,
+                    # like the reference search over the train images
+                    # (eval_satnerf.py:148-164)
+                    with open(os.path.join(cfg.root_dir, "train.txt")) as f:
+                        n_train = len([s for s in f.read().split("\n")
+                                       if s.strip()])
+                    n_search = min(n_train, cfg.t_embbeding_vocab)
+                    t = find_best_embedding_for_val_image(
+                        system, params, rays, rgbs,
+                        train_indices=range(n_search))
+                    print(f"  (searched embedding for {src_id}: t={t})")
                 ts = np.full(rays.shape[0], t, dtype=np.int32)
             else:
                 ts = sample["ts"]

@@ -99,6 +99,14 @@ class SatelliteScene:
                 self._record(p, t) for t, p in enumerate(self.json_files)
             ]
             self.all_rays, self.all_rgbs, self.all_ids = self._load_all()
+        elif split == "eval_train":
+            # per-image evaluation over the TRAIN images (the reference's
+            # `eval_satnerf --split train`, eval_satnerf.py:246-253): ids are
+            # the train ids themselves
+            self.json_files = self._split_files("train.txt")
+            self.records = [
+                self._record(p, t) for t, p in enumerate(self.json_files)
+            ]
         else:
             test_files = self._split_files("test.txt")
             train_files = self._split_files("train.txt")

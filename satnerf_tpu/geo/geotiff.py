@@ -18,6 +18,7 @@ A `Profile` mirrors rasterio's profile dict enough for the pipeline's
 
 from __future__ import annotations
 
+import re
 import struct
 import zlib
 from dataclasses import dataclass, field
@@ -193,15 +194,44 @@ def _np_dtype(sample_format: int, bits: int) -> np.dtype:
 
 class GeoTIFF:
     """Parsed GeoTIFF: `.data` is (count, height, width), `.profile` metadata,
-    `.rpc` an rpc dict when the file carries an RPCCoefficient tag."""
+    `.rpc` an rpc dict when the file carries an RPCCoefficient tag, `.tags`
+    the GDAL metadata items (tag 42112) — the rasterio `src.tags()` surface
+    the reference reads NITF sun angles from
+    (/root/reference/create_satellite_dataset.py:104-123)."""
 
     def __init__(self, data: np.ndarray, profile: Profile):
         self.data = data
         self.profile = profile
         self.rpc = None
+        self.tags: dict = {}
 
     def read(self) -> np.ndarray:
         return self.data
+
+
+def _parse_gdal_metadata(xml: str) -> dict:
+    """GDAL_METADATA XML payload -> {name: value}."""
+    def unesc(v):
+        return (v.replace("&lt;", "<").replace("&gt;", ">")
+                .replace("&amp;", "&"))
+
+    out = {}
+    for m in re.finditer(r'<Item\s+name="([^"]+)"[^>]*>(.*?)</Item>', xml,
+                         re.S):
+        out[unesc(m.group(1))] = unesc(m.group(2).strip())
+    return out
+
+
+def _gdal_metadata_xml(items: dict) -> str:
+    """Inverse of _parse_gdal_metadata (GDAL's on-disk layout)."""
+
+    def esc(v):
+        return (str(v).replace("&", "&amp;").replace("<", "&lt;")
+                .replace(">", "&gt;"))
+
+    body = "".join(f'  <Item name="{esc(k)}">{esc(v)}</Item>\n'
+                   for k, v in items.items())
+    return "<GDALMetadata>\n" + body + "</GDALMetadata>\n"
 
 
 def rpc_dict_from_tag(vals) -> dict:
@@ -353,6 +383,8 @@ def read_geotiff(path: str) -> GeoTIFF:
     out = GeoTIFF(data, profile)
     if _T_RPC_COEFFICIENTS in tags and len(tags[_T_RPC_COEFFICIENTS]) >= 92:
         out.rpc = rpc_dict_from_tag(tags[_T_RPC_COEFFICIENTS])
+    if _T_GDAL_METADATA in tags:
+        out.tags = _parse_gdal_metadata(tags[_T_GDAL_METADATA][0])
     return out
 
 
@@ -360,7 +392,8 @@ def read_geotiff(path: str) -> GeoTIFF:
 
 
 def write_geotiff(path: str, data: np.ndarray, profile: Optional[Profile] = None,
-                  compress: bool = True, rpc: Optional[dict] = None) -> None:
+                  compress: bool = True, rpc: Optional[dict] = None,
+                  tags: Optional[dict] = None) -> None:
     """Write (count, H, W) or (H, W) array as a stripped chunky GeoTIFF."""
     if data.ndim == 2:
         data = data[None]
@@ -430,6 +463,8 @@ def write_geotiff(path: str, data: np.ndarray, profile: Optional[Profile] = None
         add(_T_GDAL_NODATA, 2, "nan" if (isinstance(nod, float) and np.isnan(nod)) else repr(nod))
     if rpc is not None:
         add(_T_RPC_COEFFICIENTS, 12, rpc_tag_from_dict(rpc))
+    if tags:
+        add(_T_GDAL_METADATA, 2, _gdal_metadata_xml(tags))
 
     # strip offsets/counts placeholders (patched after layout)
     add(_T_STRIP_OFFSETS, 4, [0] * len(strips))

@@ -36,7 +36,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 1024       # forward tile (points per grid step; 2048 benches 2% slower)
+TILE = 1024       # point-mode forward tile (2048 benches 2% slower)
+RAY_FWD_TILE = 1024  # ray-mode forward tile (serve/render kernels).
+                  # Bigger tiles speed up the BARE kernel (4096: +7%,
+                  # 8192: +10% at batch 64k) but are SLOWER through the
+                  # real sharded eval surface (352k @1024 vs 337k @4096 /
+                  # 343k @8192 rays/s) and 8192 takes ~25 min to compile;
+                  # more, shorter grid steps pipeline better with the
+                  # surrounding XLA. Measured r2 — see DESIGN.md.
 BWD_TILE = 2048   # backward tile: deeper K for the weight-grad matmuls
                   # (4096 overflows VMEM even with compute-dtype residuals —
                   # the working set of live d_h/d_pre tensors dominates)
@@ -785,7 +792,7 @@ def fused_field_rays_packed(packed_list, rays16, z, layers, skip, use_beta,
 def _ray_tile(s: int) -> int:
     # multiple of 8 so the (tile_r, S) depth block keeps full sublanes even
     # for non-power-of-two S (e.g. coarse+fine S = 64 + n_importance)
-    return max(8, (TILE // s) // 8 * 8)
+    return max(8, (RAY_FWD_TILE // s) // 8 * 8)
 
 
 def _fused_forward_rays(packed_list, rays16, z, layers, skip, use_beta,

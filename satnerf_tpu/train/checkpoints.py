@@ -105,6 +105,43 @@ def import_torch_state_dict(sd: dict, variant: str, layers: int = 8) -> dict:
     return p
 
 
+def export_torch_state_dict(params: dict, variant: str,
+                            layers: int = 8) -> dict:
+    """Inverse of import_torch_checkpoint: our param dict {coarse[, fine]
+    [, t]} -> a reference-style PL checkpoint payload with a state_dict
+    keyed nerf_coarse.* / nerf_fine.* / embedding_t.* (numpy arrays; wrap in
+    torch tensors + torch.save for a file the reference tooling reads).
+    Used by the parity protocol to round-trip weights and by anyone moving
+    weights back to the reference implementation."""
+    sd = {}
+
+    def put(model_prefix, p):
+        names = [(f"fc_{i}", f"fc_net.{2 * i}") for i in range(layers)]
+        names += [("sigma_head", "sigma_from_xyz.0"),
+                  ("feats_head", "feats_from_xyz"),
+                  ("rgb_0", "rgb_from_xyzdir.0"),
+                  ("rgb_1", "rgb_from_xyzdir.2")]
+        if variant in ("s-nerf", "sat-nerf"):
+            names += [("sun_v_0", "sun_v_net.0"), ("sun_v_1", "sun_v_net.2"),
+                      ("sun_v_2", "sun_v_net.4"), ("sun_v_out", "sun_v_net.6"),
+                      ("sky_0", "sky_color.0"), ("sky_1", "sky_color.2")]
+        if variant == "sat-nerf":
+            names += [("beta_0", "beta_from_xyz.0"),
+                      ("beta_1", "beta_from_xyz.2")]
+        for ours, theirs in names:
+            d = p[ours]["Dense_0"]
+            sd[f"{model_prefix}.{theirs}.weight"] = (
+                np.asarray(d["kernel"]).T.copy())
+            sd[f"{model_prefix}.{theirs}.bias"] = np.asarray(d["bias"]).copy()
+
+    put("nerf_coarse", params["coarse"])
+    if "fine" in params:
+        put("nerf_fine", params["fine"])
+    if "t" in params:
+        sd["embedding_t.weight"] = np.asarray(params["t"]["embedding"]).copy()
+    return {"state_dict": sd}
+
+
 def import_torch_checkpoint(ckpt_path: str, variant: str, layers: int = 8):
     """Load a reference PL checkpoint (torch .ckpt) into our param dict
     {coarse[, fine][, t]} (eval_satnerf.py:23-44 prefix filtering)."""
