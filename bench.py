@@ -32,7 +32,13 @@ STEPS = int(os.environ.get("BENCH_STEPS", 20))
 MODEL = os.environ.get("BENCH_MODEL", "sat-nerf")
 PRECISION = os.environ.get("BENCH_PRECISION", "bfloat16")
 FUSED = os.environ.get("BENCH_FUSED", "auto")
-MODE = os.environ.get("BENCH_MODE", "train")  # train | render
+MODE = os.environ.get("BENCH_MODE", "train")  # train | render | image
+# "render" = raw pipelined device throughput of the sharded render step;
+# "image"  = the real eval/DSM product surface (render_image: host chunking
+#            at cfg.chunk rays/launch + async dispatch + host concat)
+SC = float(os.environ.get("BENCH_SC", 0.0))  # sc_lambda (solar correction)
+NIMP = int(os.environ.get("BENCH_NIMP", 0))  # n_importance (fine model)
+CHUNK = int(os.environ.get("BENCH_CHUNK", 0))  # 0 = config default
 
 
 def main():
@@ -47,8 +53,9 @@ def main():
     peak = V5E_PEAK_BF16 if PRECISION == "bfloat16" else V5E_PEAK_F32
 
     cfg = Config(model=MODEL, fc_units=512, fc_layers=8, n_samples=64,
-                 batch_size=BATCH, sc_lambda=0.0, max_train_steps=300000,
-                 precision=PRECISION, fused=FUSED)
+                 batch_size=BATCH, sc_lambda=SC, n_importance=NIMP,
+                 max_train_steps=300000, precision=PRECISION, fused=FUSED,
+                 **({"chunk": CHUNK} if CHUNK else {}))
     mesh = make_mesh()
     n_chips = mesh.devices.size
     system = NeRFSystem(cfg, dataset_len=max(BATCH * 64, 1 << 20), mesh=mesh)
@@ -63,6 +70,27 @@ def main():
     ts = rng.randint(0, 30, n).astype(np.int32)
     _, (r, g, t) = shard_rays(mesh, rays, rgbs, ts)
     data = {"rays": r, "rgbs": g, "ts": t}
+
+    if MODE == "image":
+        rays_np, ts_np = rays[:BATCH], ts[:BATCH]
+        system.render_image(state.params, rays_np, ts_np)  # compile + warmup
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            out = system.render_image(state.params, rays_np, ts_np)
+        dt = time.perf_counter() - t0  # device_get inside forces completion
+        assert out["rgb_coarse"].shape[0] == BATCH
+        per_chip = BATCH * STEPS / dt / n_chips
+        fpr = flops_per_ray(MODEL, cfg.fc_layers, cfg.fc_units,
+                            cfg.n_samples, mode="render", n_importance=NIMP)
+        print(json.dumps({
+            "metric": "image_rays_per_sec_per_chip",
+            "value": round(per_chip, 1),
+            "unit": "rays/s",
+            "vs_baseline": round(per_chip / 5e6, 4),
+            "flops_per_ray": round(fpr / 1e6, 2),
+            "mfu": round(per_chip * fpr / peak, 4),
+        }))
+        return
 
     if MODE == "render":
         # novel-view-synthesis serving throughput: forward render only,
@@ -89,7 +117,8 @@ def main():
         dt = time.perf_counter() - t0
         per_chip = BATCH * STEPS / dt / n_chips
         fpr = flops_per_ray(MODEL, cfg.fc_layers, cfg.fc_units,
-                            cfg.n_samples, mode="render")
+                            cfg.n_samples, mode="render",
+                            n_importance=NIMP)
         print(json.dumps({
             "metric": "render_rays_per_sec_per_chip",
             "value": round(per_chip, 1),
@@ -122,7 +151,7 @@ def main():
     rays_per_sec = BATCH * STEPS / dt
     per_chip = rays_per_sec / n_chips
     fpr = flops_per_ray(MODEL, cfg.fc_layers, cfg.fc_units, cfg.n_samples,
-                        mode="train")
+                        mode="train", sc=SC > 0, n_importance=NIMP)
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
         "value": round(per_chip, 1),

@@ -7,6 +7,12 @@ lidar ROI grid, and score both against the GT.
 s2p itself is an external C++/C stereo pipeline the reference also shells out
 to (eval_s2p.py:145); this wrapper keeps that contract. All the geo plumbing
 around it (UTM windows, fusion, registration, MAE) is in-house.
+
+Deliberate scope cut vs the reference: the PAN-band stereo variant
+(reference eval_s2p.py:103-114, which swaps the RGB crops for full-resolution
+panchromatic images fetched over vsicurl from the DFC2019 bucket) is NOT
+implemented — this environment has no network egress and the RGB path is the
+one the paper's tables use. Only the RGB crop path is supported here.
 """
 
 from __future__ import annotations

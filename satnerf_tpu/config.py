@@ -50,7 +50,11 @@ class Config:
     n_samples: int = 64
     n_importance: int = 0
     noise_std: float = 0.0
-    chunk: int = 1024 * 5  # eval-time device batch (training needs no chunking)
+    chunk: int = 1 << 16  # eval-time device batch (training needs no chunking).
+    # The reference's 5120 (opt.py:60-61) is a GPU-memory bound; on TPU the
+    # forward render easily fits 64k+ rays and per-launch RPC latency on the
+    # tunneled runtime makes small chunks serving-bound (DESIGN.md "Serving"),
+    # so the default is one 256^2 image per launch.
 
     # sat-nerf specific
     sc_lambda: float = 0.0
@@ -67,6 +71,15 @@ class Config:
     precision: str = "float32"  # float32 | bfloat16 (matmul inputs)
     fused: str = "auto"  # auto | on | rays | off — fused Pallas field kernel
     # ("rays" additionally moves the o+d*z sample expansion into the kernel)
+    sampling: str = "replacement"  # replacement | shuffle — per-step ray draw
+    # ("shuffle" = without-replacement per epoch, the reference DataLoader's
+    #  semantics via a per-epoch on-device permutation; "replacement" is the
+    #  default uniform i.i.d. draw — see docs/DESIGN.md "Batch sampling")
+    eval_wire: str = "auto"  # auto | float16 | off — compress eval products
+    # to f16 on-device before the device->host fetch (depth stays f32 for DSM
+    # precision). "auto" = on when running on a real accelerator. The fetch
+    # link is the eval bottleneck (DESIGN.md "Serving"); quantization is
+    # ~0.25 of an 8-bit image LSB, invisible in every product.
     log_every_n_steps: int = 100
     profile_dir: Optional[str] = None  # write a jax.profiler trace of steps 20-30
     val_every_n_epochs: int = 1
@@ -141,6 +154,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--fused", type=str, default=d.fused,
                    choices=["auto", "on", "rays", "off"])
+    p.add_argument("--sampling", type=str, default=d.sampling,
+                   choices=["replacement", "shuffle"])
+    p.add_argument("--eval_wire", type=str, default=d.eval_wire,
+                   choices=["auto", "float16", "off"])
     p.add_argument("--log_every_n_steps", type=int, default=d.log_every_n_steps)
     p.add_argument("--profile_dir", type=str, default=d.profile_dir)
     p.add_argument("--val_every_n_epochs", type=int, default=d.val_every_n_epochs)

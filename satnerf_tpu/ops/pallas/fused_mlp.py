@@ -36,14 +36,19 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+
 TILE = 1024       # point-mode forward tile (2048 benches 2% slower)
-RAY_FWD_TILE = 1024  # ray-mode forward tile (serve/render kernels).
-                  # Bigger tiles speed up the BARE kernel (4096: +7%,
-                  # 8192: +10% at batch 64k) but are SLOWER through the
-                  # real sharded eval surface (352k @1024 vs 337k @4096 /
-                  # 343k @8192 rays/s) and 8192 takes ~25 min to compile;
-                  # more, shorter grid steps pipeline better with the
-                  # surrounding XLA. Measured r2 — see DESIGN.md.
+RAY_FWD_TILE = int(_os.environ.get("SATNERF_RAY_TILE", 1024))
+                  # ray-mode forward tile (serve/render kernels), in POINTS
+                  # (rays/tile = RAY_FWD_TILE // n_samples). 1024 wins at
+                  # every serving batch size measured on the chip (r2):
+                  # at 256k-ray batches 415k rays/s vs 364k @2048; at 64k
+                  # batches 352k vs 337k @4096 (8192 also ~25 min compile).
+                  # Bigger tiles only help the bare kernel (+7-10%) — through
+                  # the sharded eval surface the shorter grid steps pipeline
+                  # better with the surrounding XLA. Env-overridable for
+                  # experiments: SATNERF_RAY_TILE.
 BWD_TILE = 2048   # backward tile: deeper K for the weight-grad matmuls
                   # (4096 overflows VMEM even with compute-dtype residuals —
                   # the working set of live d_h/d_pre tensors dominates)

@@ -162,6 +162,17 @@ def fit(cfg: Config) -> dict:
     train_step = system.make_train_step()
     key = jax.random.PRNGKey(cfg.seed + 1)
 
+    # --sampling shuffle: per-epoch on-device permutation of each shard
+    # (without-replacement epoch semantics like the reference DataLoader;
+    # depth-supervision rays keep the default i.i.d. draw)
+    epoch_perm = None
+    if cfg.sampling == "shuffle":
+        epoch_perm = system.make_epoch_perm()
+        perm_key = jax.random.PRNGKey(cfg.seed + 2)
+        data["perm"] = epoch_perm(
+            d_rays, jax.random.fold_in(perm_key, int(state.step) // system.spe)
+        )
+
     # sanity validation (main.py:257)
     if cfg.num_sanity_val_steps > 0:
         validate(system, state, val_ds, cfg, logger, step=0, epoch=0,
@@ -202,6 +213,9 @@ def fit(cfg: Config) -> dict:
         # epoch boundary: validate + checkpoint
         if (step_i + 1) % spe == 0:
             epoch = (step_i + 1) // spe
+            if epoch_perm is not None:
+                data["perm"] = epoch_perm(d_rays,
+                                          jax.random.fold_in(perm_key, epoch))
             if epoch % cfg.val_every_n_epochs == 0:
                 save = epoch % cfg.save_every_n_epochs == 0
                 final_metrics = validate(

@@ -496,13 +496,27 @@ class NeRFSystem:
             f"batch_size {cfg.batch_size} must divide across {n_dev} devices"
         )
 
-        def local_step(state, rays, rgbs, ts, d_rays, d_depths, d_ts, key):
+        spe = self.spe
+        shuffle = cfg.sampling == "shuffle"
+
+        def local_step(state, rays, rgbs, ts, d_rays, d_depths, d_ts, perm,
+                       key):
             axis_idx = jax.lax.axis_index(DATA_AXIS)
             k = jax.random.fold_in(jax.random.fold_in(key, axis_idx), state.step)
             k_idx, k_didx, k_loss = jax.random.split(k, 3)
 
             n_local = rays.shape[0]
-            idx = jax.random.randint(k_idx, (b_local,), 0, n_local)
+            if shuffle and perm is not None:
+                # without-replacement epoch semantics (reference DataLoader,
+                # main.py:96-117): walk a per-epoch device-resident
+                # permutation of the local shard. spe*b_local <= n_local by
+                # the epoch definition, so all draws within an epoch are
+                # distinct; perm is refreshed at epoch boundaries by the
+                # loop (train/loop.py) from a per-epoch key.
+                pos = (state.step % spe) * b_local + jnp.arange(b_local)
+                idx = perm[pos % n_local]
+            else:
+                idx = jax.random.randint(k_idx, (b_local,), 0, n_local)
             b_rays = rays[idx]
             b_rgbs = rgbs[idx]
             b_ts = ts[idx] if ts is not None else None
@@ -551,12 +565,14 @@ class NeRFSystem:
             d_rays = data.get("d_rays") if has_depth else None
             d_depths = data.get("d_depths") if has_depth else None
             d_ts = data.get("d_ts") if has_depth else None
+            perm = data.get("perm") if shuffle else None
 
             in_specs = [rep, data_spec, data_spec,
                         data_spec if ts is not None else rep,
                         data_spec if d_rays is not None else rep,
                         data_spec if d_depths is not None else rep,
                         data_spec if d_ts is not None else rep,
+                        data_spec if perm is not None else rep,
                         rep]
             fn = jax.shard_map(
                 local_step,
@@ -565,9 +581,28 @@ class NeRFSystem:
                 out_specs=(rep, rep),
                 check_vma=False,
             )
-            return fn(state, rays, rgbs, ts, d_rays, d_depths, d_ts, key)
+            return fn(state, rays, rgbs, ts, d_rays, d_depths, d_ts, perm, key)
 
         return jax.jit(wrapped, donate_argnums=(0,))
+
+    def make_epoch_perm(self):
+        """Jitted (rays, key) -> perm: an independent uniform permutation of
+        each device's local shard indices, sharded like the rays. Used by
+        `--sampling shuffle` to reproduce the reference DataLoader's
+        without-replacement epoch semantics (main.py:96-117) with zero
+        host involvement: the loop calls this once per epoch."""
+        rep = P()
+        data_spec = P(DATA_AXIS)
+
+        def local_perm(rays, key):
+            axis_idx = jax.lax.axis_index(DATA_AXIS)
+            k = jax.random.fold_in(key, axis_idx)
+            return jax.random.permutation(k, rays.shape[0]).astype(jnp.int32)
+
+        fn = jax.shard_map(local_perm, mesh=self.mesh,
+                           in_specs=(data_spec, rep), out_specs=data_spec,
+                           check_vma=False)
+        return jax.jit(fn)
 
     # -------------------------------------------------------------- eval step
 
@@ -604,7 +639,14 @@ class NeRFSystem:
 
     def render_image(self, params, rays: np.ndarray, ts, key=None) -> dict:
         """Host-side helper: render H*W rays in device-sized chunks and
-        concatenate (the reference's batched_inference, eval_satnerf.py:46-66)."""
+        concatenate (the reference's batched_inference, eval_satnerf.py:46-66).
+
+        All chunks are dispatched asynchronously before any result is
+        fetched: on the tunneled TPU runtime each launch carries real RPC
+        latency, and a synchronous per-chunk device_get serializes it with
+        the compute (measured ~30 ms/launch — the difference between 349k
+        and 417k rays/s at 64k-ray chunks). Queueing every chunk first lets
+        transfer, launch latency, and compute overlap."""
         if key is None:
             key = jax.random.PRNGKey(0)
         # chunk must split evenly across the mesh's ray axis
@@ -613,9 +655,29 @@ class NeRFSystem:
         render_chunk = getattr(self, "_render_chunk", None)
         if render_chunk is None:
             render_chunk = self.make_eval_render()
+            wire = self.cfg.eval_wire
+            if wire == "float16" or (wire == "auto"
+                                     and jax.default_backend() != "cpu"):
+                # wire compression: the fetch link is the eval bottleneck
+                # (~15 MB/s measured through the tunnel, vs 619 MB/s up), so
+                # halve the fetched bytes by casting viz products to f16
+                # on-device. depth feeds the DSM chain and stays f32 (f16's
+                # 11-bit mantissa would cost ~0.2 m at scene scale).
+                base = render_chunk
+
+                def wire_chunk(params, r, t, k):
+                    res = base(params, r, t, k)
+                    return {
+                        key_: (v.astype(jnp.float16)
+                               if v.dtype == jnp.float32
+                               and "depth" not in key_ else v)
+                        for key_, v in res.items()
+                    }
+
+                render_chunk = jax.jit(wire_chunk)
             self._render_chunk = render_chunk
 
-        outs = []
+        pending = []
         for i in range(0, n, chunk):
             r = jnp.asarray(rays[i : i + chunk])
             pad = 0
@@ -627,8 +689,15 @@ class NeRFSystem:
                 t = jnp.asarray(ts[i : i + chunk])
                 if pad:
                     t = jnp.pad(t, ((0, pad),))
-            res = render_chunk(params, r, t, key)
+            pending.append((render_chunk(params, r, t, key), pad))
+        outs = []
+        for res, pad in pending:
+            res = jax.device_get(res)
             if pad:
                 res = {k: v[: chunk - pad] for k, v in res.items()}
-            outs.append(jax.device_get(res))
+            # upcast wire-compressed products so downstream eval code
+            # (GeoTIFF dumps, metrics) always sees float32
+            res = {k: (v.astype(np.float32) if v.dtype == np.float16 else v)
+                   for k, v in res.items()}
+            outs.append(res)
         return {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}

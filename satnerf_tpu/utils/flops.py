@@ -42,7 +42,8 @@ def field_macs_per_point(model: str = "sat-nerf", layers: int = 8,
 
 def flops_per_ray(model: str = "sat-nerf", layers: int = 8, feat: int = 512,
                   n_samples: int = 64, tau: int = 4, *,
-                  mode: str = "train") -> float:
+                  mode: str = "train", sc: bool = False,
+                  n_importance: int = 0) -> float:
     """Useful FLOPs per ray.
 
     mode="render": one forward field pass (2 FLOP/MAC).
@@ -51,9 +52,22 @@ def flops_per_ray(model: str = "sat-nerf", layers: int = 8, feat: int = 512,
                    forward launch was eliminated — see fused_mlp.py's
                    fused_train_loss_grads). A conventional fwd + recompute-
                    backward design would be 4x.
+
+    sc=True (training only): the solar-correction pass evaluates the field
+    once more along the SUN ray (rendering.py:102-108) under value_and_grad —
+    one forward launch + the recompute backward = 4x forward on S points.
+
+    n_importance>0: hierarchical sampling adds a fine-model pass over the
+    sorted union of samples (rendering.py:118-156) — S coarse points plus
+    (S + n_importance) fine points, each at the mode's multiplier.
     """
-    fwd = 2.0 * field_macs_per_point(model, layers, feat, tau) * n_samples
-    return fwd if mode == "render" else 3.0 * fwd
+    per_pt = 2.0 * field_macs_per_point(model, layers, feat, tau)
+    pts = n_samples + ((n_samples + n_importance) if n_importance > 0 else 0)
+    mult = 1.0 if mode == "render" else 3.0
+    flops = mult * per_pt * pts
+    if sc and mode == "train":
+        flops += 4.0 * per_pt * n_samples
+    return flops
 
 
 def speed_of_light_rays_per_sec(model: str = "sat-nerf", layers: int = 8,

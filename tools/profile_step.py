@@ -24,6 +24,7 @@ STEPS = int(os.environ.get("BENCH_STEPS", 10))
 MODEL = os.environ.get("BENCH_MODEL", "sat-nerf")
 PRECISION = os.environ.get("BENCH_PRECISION", "bfloat16")
 FUSED = os.environ.get("BENCH_FUSED", "auto")
+MODE = os.environ.get("BENCH_MODE", "train")  # train | render
 
 
 def run(out_dir):
@@ -49,6 +50,28 @@ def run(out_dir):
     ts = rng.randint(0, 30, n).astype(np.int32)
     _, (r, g, t) = shard_rays(mesh, rays, rgbs, ts)
     data = {"rays": r, "rgbs": g, "ts": t}
+
+    if MODE == "render":
+        import jax.numpy as jnp
+
+        render = system.make_eval_render()
+        rr = jnp.asarray(rays[:BATCH])
+        tt = jnp.asarray(ts[:BATCH])
+        k = jax.random.PRNGKey(1)
+        acc = jax.jit(lambda s, o: s + o["rgb_coarse"].sum())
+        out = render(state.params, rr, tt, k)
+        float(out["rgb_coarse"].sum())
+        jax.profiler.start_trace(out_dir)
+        s = jnp.zeros(())
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            out = render(state.params, rr, tt, k)
+            s = acc(s, out)
+        assert np.isfinite(float(s))
+        dt = time.perf_counter() - t0
+        jax.profiler.stop_trace()
+        print(f"{STEPS} renders in {dt:.3f}s -> {BATCH*STEPS/dt:,.0f} rays/s")
+        return dt
 
     step = system.make_train_step()
     key = jax.random.PRNGKey(1)
