@@ -926,7 +926,7 @@ def _sample_onehot(r, s):
 
 
 def _composite_tile(sel, onehot, z, rgb, sigma, sunv, sky, beta, use_beta,
-                    noise=None):
+                    noise=None, weights_out=False):
     """In-kernel alpha compositing of a (tile_r rays x S samples) tile.
 
     Math identical to render/composite.py (reference models/satnerf.py:44-79):
@@ -971,18 +971,27 @@ def _composite_tile(sel, onehot, z, rgb, sigma, sunv, sky, beta, use_beta,
     sky_ray = _dot_t_lhs(sel, w_pt * sky)
     beta_ray = (_dot_t_lhs(sel, w_pt * beta) if use_beta
                 else jnp.zeros((r, 1), jnp.float32))
-    return jnp.concatenate(
+    out = jnp.concatenate(
         [rgb_ray, depth, sun_ray, sky_ray, beta_ray, albedo_ray, opacity,
          jnp.zeros((r, OUT_COLS - 13), jnp.float32)], axis=-1
     )
+    if weights_out:
+        return out, weights
+    return out
 
 
-def _make_render_kernel_rays(layers, skip, use_beta, rgb_padding, dtype, tau):
+def _make_render_kernel_rays(layers, skip, use_beta, rgb_padding, dtype, tau,
+                             weights_out=False):
+    """weights_out=True adds a second (tile_r, S) output of the per-sample
+    compositing weights — needed by hierarchical sampling (sample_pdf,
+    reference rendering.py:118-125) to place the fine-model samples."""
+
     def kernel(rays_ref, z_ref, *w_refs):
-        out_ref = w_refs[-1]
+        n_out = 2 if weights_out else 1
+        out_ref = w_refs[-n_out]
         names = [k for k in _PACKED_ORDER
                  if use_beta or not k.startswith(("Wbeta", "bbeta"))]
-        w = {k: r[...] for k, r in zip(names, w_refs[:-1])}
+        w = {k: r[...] for k, r in zip(names, w_refs[:-n_out])}
         z = z_ref[...]
         r, s = z.shape
         xin = _expand_rays(rays_ref[...], z, tau)
@@ -992,8 +1001,12 @@ def _make_render_kernel_rays(layers, skip, use_beta, rgb_padding, dtype, tau):
             xin, h, w, use_beta, rgb_padding, dtype
         )
         sel, onehot = _sample_onehot(r, s)
-        out_ref[...] = _composite_tile(sel, onehot, z, rgb, sigma, sunv, sky,
-                                       beta, use_beta)
+        res = _composite_tile(sel, onehot, z, rgb, sigma, sunv, sky,
+                              beta, use_beta, weights_out=weights_out)
+        if weights_out:
+            out_ref[...], w_refs[-1][...] = res
+        else:
+            out_ref[...] = res
 
     return kernel
 
@@ -1001,13 +1014,17 @@ def _make_render_kernel_rays(layers, skip, use_beta, rgb_padding, dtype, tau):
 def fused_render_rays(params: dict, rays_o, rays_d, sun_dir, t_embed, z_vals,
                       *, layers: int = 8, feat: int = 512, skip: int = 4,
                       use_beta: bool = True, rgb_padding: float = 0.001,
-                      tau: int = 4, dtype=jnp.bfloat16) -> dict:
+                      tau: int = 4, dtype=jnp.bfloat16,
+                      return_weights: bool = False) -> dict:
     """Serving path: render rays to per-ray products entirely in one kernel.
 
     Returns {"rgb": (R,3), "depth": (R,), "sun": (R,1), "sky": (R,3),
     "beta": (R,1) [sat-nerf], "albedo": (R,3), "opacity": (R,)} — the per-ray
     integrals eval/images.py computes host-side from the per-sample outputs
     (reference eval_satnerf.py:95-146), already composited on-chip.
+
+    return_weights=True adds "weights" (R, S) — the per-sample compositing
+    weights the coarse pass feeds to sample_pdf when n_importance > 0.
     """
     r, s = z_vals.shape
     t_part = (t_embed.astype(jnp.float32) if (t_embed is not None and use_beta)
@@ -1029,12 +1046,21 @@ def fused_render_rays(params: dict, rays_o, rays_d, sun_dir, t_embed, z_vals,
         z = jnp.pad(z, ((0, r_pad - r), (0, 0)), constant_values=1.0)
 
     kernel = _make_render_kernel_rays(layers, skip, use_beta, rgb_padding,
-                                      dtype, tau)
+                                      dtype, tau, weights_out=return_weights)
     w_specs = [
         pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd,
                      memory_space=pltpu.VMEM)
         for p in plist
     ]
+    out_specs = pl.BlockSpec((tile_r, OUT_COLS), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((r_pad, OUT_COLS), jnp.float32)
+    if return_weights:
+        out_specs = (out_specs,
+                     pl.BlockSpec((tile_r, s), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((r_pad, s), jnp.float32))
     out = pl.pallas_call(
         kernel,
         grid=(r_pad // tile_r,),
@@ -1045,13 +1071,17 @@ def fused_render_rays(params: dict, rays_o, rays_d, sun_dir, t_embed, z_vals,
                          memory_space=pltpu.VMEM),
             *w_specs,
         ],
-        out_specs=pl.BlockSpec((tile_r, OUT_COLS), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((r_pad, OUT_COLS), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(rays16, z, *plist)[:r]
+    )(rays16, z, *plist)
+    weights = None
+    if return_weights:
+        out, weights = out
+        weights = weights[:r]
+    out = out[:r]
     res = {
         "rgb": out[:, 0:3],
         "depth": out[:, 3],
@@ -1062,6 +1092,8 @@ def fused_render_rays(params: dict, rays_o, rays_d, sun_dir, t_embed, z_vals,
     }
     if use_beta:
         res["beta"] = out[:, 8:9]
+    if return_weights:
+        res["weights"] = weights
     return res
 
 

@@ -225,8 +225,11 @@ class NeRFSystem:
     @property
     def _use_fused_product_render(self) -> bool:
         """Eval/serving can composite inside the kernel (fused_render_rays)
-        when the coarse-only SIREN ray-mode path is active."""
-        return self.fused_mode == "rays" and self.cfg.n_importance == 0
+        when the SIREN ray-mode path is active. n_importance > 0 runs as a
+        two-kernel dispatch: coarse render (with a per-sample weights output)
+        -> sample_pdf -> fine render over the sorted union of samples
+        (reference rendering.py:118-156)."""
+        return self.fused_mode == "rays"
 
     @property
     def _use_fused_train_render(self) -> bool:
@@ -253,33 +256,54 @@ class NeRFSystem:
         eval/images.py's host-side `(weights * q).sum(-2)` reductions
         (reference eval_satnerf.py:95-146) are the identity."""
         from satnerf_tpu.ops.pallas.fused_mlp import fused_render_rays
-        from satnerf_tpu.render.sampling import stratified_zvals
+        from satnerf_tpu.render.sampling import sample_pdf, stratified_zvals
 
         cfg = self.eval_render_cfg
+        n_imp = cfg.n_importance
         t_embed = self._embed_ts(params, ts)
         rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
         near, far = rays[:, 6:7], rays[:, 7:8]
         sun_d = rays[:, 8:11] if rays.shape[1] >= 11 else None
-        z_vals = stratified_zvals(key, near, far, cfg.n_samples, cfg.perturb,
+        k_z, k_pdf = jax.random.split(key)
+        z_vals = stratified_zvals(k_z, near, far, cfg.n_samples, cfg.perturb,
                                   cfg.use_disp)
-        out = fused_render_rays(
-            params["coarse"], rays_o, rays_d, sun_d, t_embed, z_vals,
-            layers=self.cfg.fc_layers, feat=self.cfg.fc_units, skip=4,
-            use_beta=(self.cfg.model == "sat-nerf"),
-            tau=self.cfg.t_embbeding_tau, dtype=self.compute_dtype,
-        )
+
+        def run(model_params, z, want_weights):
+            return fused_render_rays(
+                model_params, rays_o, rays_d, sun_d, t_embed, z,
+                layers=self.cfg.fc_layers, feat=self.cfg.fc_units, skip=4,
+                use_beta=(self.cfg.model == "sat-nerf"),
+                tau=self.cfg.t_embbeding_tau, dtype=self.compute_dtype,
+                return_weights=want_weights,
+            )
+
+        def pack(out, suffix, n):
+            res = {
+                f"rgb_{suffix}": out["rgb"],
+                f"depth_{suffix}": out["depth"],
+                f"opacity_{suffix}": out["opacity"],
+                f"weights_{suffix}": jnp.ones((n, 1), jnp.float32),
+                f"sun_{suffix}": out["sun"][:, None, :],
+                f"albedo_{suffix}": out["albedo"][:, None, :],
+                f"sky_{suffix}": out["sky"][:, None, :],
+            }
+            if "beta" in out:
+                res[f"beta_{suffix}"] = out["beta"][:, None, :]
+            return res
+
         n = rays.shape[0]
-        res = {
-            "rgb_coarse": out["rgb"],
-            "depth_coarse": out["depth"],
-            "opacity_coarse": out["opacity"],
-            "weights_coarse": jnp.ones((n, 1), jnp.float32),
-            "sun_coarse": out["sun"][:, None, :],
-            "albedo_coarse": out["albedo"][:, None, :],
-            "sky_coarse": out["sky"][:, None, :],
-        }
-        if "beta" in out:
-            res["beta_coarse"] = out["beta"][:, None, :]
+        coarse = run(params["coarse"], z_vals, n_imp > 0)
+        res = pack(coarse, "coarse", n)
+        if n_imp > 0:
+            # hierarchical resampling over the coarse weights, then one more
+            # fused render with the fine model (rendering.py:118-156)
+            z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+            z_fine = sample_pdf(k_pdf, z_mid, coarse["weights"][:, 1:-1],
+                                n_imp, det=(cfg.perturb == 0))
+            z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1),
+                             axis=-1)
+            fine = run(params["fine"], z_all, False)
+            res.update(pack(fine, "fine", n))
         return res
 
     def _fused_train_render(self, params, rays, ts, key, noise_std) -> dict:

@@ -234,6 +234,30 @@ class TestEvalRender:
         assert out["depth_coarse"].shape == (150,)
 
 
+class TestEvalWire:
+    def test_float16_wire_upcasts_and_matches(self, rng, eight_devices):
+        """--eval_wire float16 halves the fetched bytes; the host side must
+        still see float32 arrays, within f16 quantization of the f32 wire
+        (depth is never compressed — it feeds the DSM chain)."""
+        cfg_off = _small_cfg(chunk=64, eval_wire="off")
+        cfg_f16 = _small_cfg(chunk=64, eval_wire="float16")
+        mesh = make_mesh()
+        sys_off = NeRFSystem(cfg_off, dataset_len=1024, mesh=mesh)
+        sys_f16 = NeRFSystem(cfg_f16, dataset_len=1024, mesh=mesh)
+        params = sys_off.init_params(jax.random.PRNGKey(0))
+        rays, _, ts = _toy_data(rng, n=128)
+        a = sys_off.render_image(params, rays, ts)
+        b = sys_f16.render_image(params, rays, ts)
+        for k in a:
+            assert b[k].dtype == np.float32, k
+        # depth is uncompressed: any difference is jit-wrapper reassociation
+        # noise (~1 ulp), far below f16 quantization (~5e-4 here)
+        np.testing.assert_allclose(a["depth_coarse"], b["depth_coarse"],
+                                   atol=1e-6)
+        np.testing.assert_allclose(a["rgb_coarse"], b["rgb_coarse"],
+                                   atol=1e-3)
+
+
 class TestFusedProductRender:
     """--fused rays eval path: in-kernel compositing through the sharded
     render_image surface must reproduce the flax + XLA-compositor results
@@ -269,3 +293,32 @@ class TestFusedProductRender:
                    * res_f[f"{k}_coarse"]).sum(-2)
             want = (w[..., None] * ref).sum(-2)
             np.testing.assert_allclose(got, want, atol=2e-4, err_msg=k)
+
+    def test_fine_model_two_kernel_dispatch(self, rng, eight_devices):
+        """n_importance > 0 through the fused product path: coarse render
+        (weights out) -> sample_pdf -> fine render, vs the flax + XLA
+        renderer. sample_pdf's searchsorted amplifies sub-ulp weight
+        differences on rays whose CDF sits on a bin edge, so the comparison
+        tolerates rare outliers instead of a global atol."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        rays, rgbs, ts = _toy_data(rng, n=256)
+        mesh = make_mesh()
+        cfg_f = _small_cfg(fused="rays", chunk=256, n_importance=8)
+        cfg_o = _small_cfg(fused="off", chunk=256, n_importance=8)
+        sys_f = NeRFSystem(cfg_f, dataset_len=2048, mesh=mesh)
+        sys_o = NeRFSystem(cfg_o, dataset_len=2048, mesh=mesh)
+        assert sys_f._use_fused_product_render
+        params = sys_o.init_params(jax.random.PRNGKey(0))
+
+        with pltpu.force_tpu_interpret_mode():
+            res_f = sys_f.render_image(params, rays, ts)
+        res_o = sys_o.render_image(params, rays, ts)
+
+        assert res_f["rgb_fine"].shape == (256, 3)
+        assert res_f["depth_fine"].shape == (256,)
+        for k in ("rgb_coarse", "rgb_fine", "depth_fine"):
+            a, b = np.asarray(res_f[k]), np.asarray(res_o[k])
+            err = np.abs(a - b).reshape(a.shape[0], -1).max(-1)
+            assert np.median(err) < 2e-4, (k, np.median(err))
+            assert (err < 2e-3).mean() > 0.97, (k, (err < 2e-3).mean())
