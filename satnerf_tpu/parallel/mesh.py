@@ -38,7 +38,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_rays(mesh: Mesh, *arrays, pad_value=0.0):
     """Place host arrays on the mesh sharded along axis 0, padding the
     leading dim up to a multiple of the mesh size. Returns (padded_len,
-    [sharded arrays...])."""
+    [sharded arrays...]).
+
+    Works across hosts: when the mesh spans multiple processes, every host
+    passes the same (replicated) numpy arrays and contributes only the rows
+    its local devices own (parallel/distributed.contribute_global)."""
+    from satnerf_tpu.parallel.distributed import contribute_global
+
     n = mesh.devices.size
     out = []
     padded = None
@@ -49,5 +55,5 @@ def shard_rays(mesh: Mesh, *arrays, pad_value=0.0):
             pad_width = [(0, rem)] + [(0, 0)] * (a.ndim - 1)
             a = np.pad(a, pad_width, constant_values=pad_value)
         padded = a.shape[0]
-        out.append(jax.device_put(a, batch_sharding(mesh)))
+        out.append(contribute_global(batch_sharding(mesh), a))
     return padded, out

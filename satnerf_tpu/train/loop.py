@@ -29,6 +29,7 @@ from satnerf_tpu.eval.images import save_nerf_output_to_images
 from satnerf_tpu.eval.val_ts import predefined_val_ts
 from satnerf_tpu.ops.ssim import psnr as psnr_np
 from satnerf_tpu.ops.ssim import ssim as ssim_np
+from satnerf_tpu.parallel.distributed import is_main, maybe_init_distributed
 from satnerf_tpu.parallel.mesh import make_mesh, shard_rays
 from satnerf_tpu.train.checkpoints import (
     checkpoint_path,
@@ -116,8 +117,14 @@ def validate(system: NeRFSystem, state, val_dataset, cfg: Config,
 def fit(cfg: Config) -> dict:
     """Run the full training job. Returns final metrics summary."""
     t0 = time.time()
+    # multi-host: join the global runtime first (no-op single-process); the
+    # mesh then spans every host's chips and the step's psum rides ICI+DCN
+    n_procs = maybe_init_distributed()
+    main = is_main()
     mesh = make_mesh(cfg.n_devices)
-    print(f"mesh: {mesh.devices.size} device(s): {mesh.devices.ravel()[:4]}...")
+    if main:
+        print(f"mesh: {mesh.devices.size} device(s) across {n_procs} "
+              f"process(es): {mesh.devices.ravel()[:4]}...")
 
     train_sets = load_dataset(cfg, split="train")
     val_sets = load_dataset(cfg, split="val")
@@ -131,10 +138,14 @@ def fit(cfg: Config) -> dict:
         depth_dataset_len=len(depth_ds) if depth_ds else 0,
         mesh=mesh,
     )
-    logger = RunLogger(cfg.logs_dir, cfg.exp_name)
+    # all run IO (TensorBoard, opts.json, checkpoints, product dumps, eval)
+    # belongs to process 0; other hosts only feed the global train step
+    logger = RunLogger(cfg.logs_dir, cfg.exp_name) if main else None
     # opts.json is half the checkpoint contract (opt.py:85-87) — guarantee it
     # regardless of whether the run came through the CLI or fit() directly
-    if not os.path.exists(os.path.join(cfg.logs_dir, cfg.exp_name, "opts.json")):
+    if main and not os.path.exists(
+        os.path.join(cfg.logs_dir, cfg.exp_name, "opts.json")
+    ):
         cfg.dump()
 
     state = system.init_state(jax.random.PRNGKey(cfg.seed))
@@ -173,8 +184,8 @@ def fit(cfg: Config) -> dict:
             d_rays, jax.random.fold_in(perm_key, int(state.step) // system.spe)
         )
 
-    # sanity validation (main.py:257)
-    if cfg.num_sanity_val_steps > 0:
+    # sanity validation (main.py:257) — eval is host-local (system.eval_mesh)
+    if main and cfg.num_sanity_val_steps > 0:
         validate(system, state, val_ds, cfg, logger, step=0, epoch=0,
                  max_images=cfg.num_sanity_val_steps)
 
@@ -196,7 +207,7 @@ def fit(cfg: Config) -> dict:
         state, m = train_step(state, data, key)
         rays_done += cfg.batch_size
 
-        if (step_i + 1) % cfg.log_every_n_steps == 0:
+        if main and (step_i + 1) % cfg.log_every_n_steps == 0:
             m = {k: float(v) for k, v in m.items()}
             now = time.time()
             rps = rays_done / max(now - last_log, 1e-9)
@@ -216,23 +227,28 @@ def fit(cfg: Config) -> dict:
             if epoch_perm is not None:
                 data["perm"] = epoch_perm(d_rays,
                                           jax.random.fold_in(perm_key, epoch))
-            if epoch % cfg.val_every_n_epochs == 0:
+            if main and epoch % cfg.val_every_n_epochs == 0:
                 save = epoch % cfg.save_every_n_epochs == 0
                 final_metrics = validate(
                     system, state, val_ds, cfg, logger, step_i + 1, epoch,
                     save_images=save,
                 )
-            if epoch % cfg.save_every_n_epochs == 0:
+            if main and epoch % cfg.save_every_n_epochs == 0:
                 p = checkpoint_path(cfg.ckpts_dir, cfg.exp_name, epoch)
                 save_checkpoint(p, state)
                 print(f"saved {p}")
 
     # final checkpoint + validation
-    epoch = cfg.max_train_steps // spe
-    p = checkpoint_path(cfg.ckpts_dir, cfg.exp_name, epoch)
-    save_checkpoint(p, state)
-    final_metrics = validate(system, state, val_ds, cfg, logger,
-                             cfg.max_train_steps, epoch, save_images=True)
-    logger.close()
-    print(f"done in {time.time() - t0:.1f}s — {final_metrics}")
+    if main:
+        epoch = cfg.max_train_steps // spe
+        p = checkpoint_path(cfg.ckpts_dir, cfg.exp_name, epoch)
+        save_checkpoint(p, state)
+        final_metrics = validate(system, state, val_ds, cfg, logger,
+                                 cfg.max_train_steps, epoch, save_images=True)
+        logger.close()
+        print(f"done in {time.time() - t0:.1f}s — {final_metrics}")
+    if n_procs > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("satnerf_fit_end")
     return {"state": state, "system": system, "metrics": final_metrics}

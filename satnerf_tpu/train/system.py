@@ -74,6 +74,17 @@ class NeRFSystem:
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(cfg.n_devices)
         self.n_devices = self.mesh.devices.size
+        # eval/DSM grids stay host-local (parallel/distributed.py): when the
+        # train mesh spans processes, render_image shards over THIS host's
+        # chips only, so validation needs no cross-host gathers
+        self.eval_mesh = self.mesh
+        if any(d.process_index != jax.process_index()
+               for d in self.mesh.devices.flat):
+            from jax.sharding import Mesh
+
+            local = [d for d in self.mesh.devices.flat
+                     if d.process_index == jax.process_index()]
+            self.eval_mesh = Mesh(np.array(local), self.mesh.axis_names)
         self.spe = steps_per_epoch(dataset_len or cfg.batch_size, cfg.batch_size)
         self.use_ts = cfg.model == "sat-nerf"
         self.depth = cfg.ds_lambda > 0
@@ -648,7 +659,7 @@ class NeRFSystem:
 
         fn = jax.shard_map(
             local_render,
-            mesh=self.mesh,
+            mesh=self.eval_mesh,
             in_specs=(rep, data_spec, data_spec, rep),
             out_specs=data_spec,
             check_vma=False,
@@ -673,8 +684,17 @@ class NeRFSystem:
         transfer, launch latency, and compute overlap."""
         if key is None:
             key = jax.random.PRNGKey(0)
-        # chunk must split evenly across the mesh's ray axis
-        chunk = -(-self.cfg.chunk // self.n_devices) * self.n_devices
+        n_eval = self.eval_mesh.devices.size
+        if self.eval_mesh is not self.mesh:
+            # multi-host run: params live replicated on the global mesh;
+            # rehome them onto this host's eval mesh (pure local copy — a
+            # replicated array is fully addressable everywhere)
+            from satnerf_tpu.parallel.mesh import replicated
+
+            params = jax.device_put(jax.device_get(params),
+                                    replicated(self.eval_mesh))
+        # chunk must split evenly across the eval mesh's ray axis
+        chunk = -(-self.cfg.chunk // n_eval) * n_eval
         n = rays.shape[0]
         render_chunk = getattr(self, "_render_chunk", None)
         if render_chunk is None:

@@ -1,0 +1,96 @@
+"""Multi-host (DCN-level) data parallelism: a REAL 2-process JAX runtime on
+CPU (4 virtual devices per process -> one global 8-device mesh), exercising
+parallel/distributed.py end to end — process-local dataset contribution,
+the global shard_map train step, the collapsed host-local eval mesh, and
+replicated-parameter agreement across processes.
+
+The reference has no distributed mode at all (SURVEY.md §2 checklist); this
+pins the TPU-native multi-pod design: same math as a single-host mesh of the
+same size, byte-for-byte.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+WORKER = os.path.join(HERE, "multihost_worker.py")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def worker_results():
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = []
+    for pid in range(2):
+        e = dict(env,
+                 SATNERF_COORDINATOR=f"127.0.0.1:{port}",
+                 SATNERF_NUM_PROCS="2",
+                 SATNERF_PROC_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER], env=e,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    return outs
+
+
+class TestMultihost:
+    def test_processes_agree(self, worker_results):
+        """Replicated params and pmean'd metrics must be identical on both
+        processes — the single-program SPMD contract."""
+        a, b = sorted(worker_results, key=lambda r: r["proc"])
+        assert a["proc"] == 0 and b["proc"] == 1
+        assert a["losses"] == pytest.approx(b["losses"], rel=1e-6)
+        assert a["checksum"] == pytest.approx(b["checksum"], rel=1e-6)
+        assert a["eval_ok"] and b["eval_ok"]
+
+    def test_matches_single_process(self, worker_results, eight_devices):
+        """2 processes x 4 devices == 1 process x 8 devices: the mesh is the
+        same size and shard_rays slices rows identically, so the per-device
+        batch draw (fold_in by axis_index) and the psum'd loss must
+        reproduce the single-process trajectory."""
+        from satnerf_tpu.config import Config
+        from satnerf_tpu.parallel.mesh import make_mesh, shard_rays
+        from satnerf_tpu.train.system import NeRFSystem
+
+        rng = np.random.RandomState(0)
+        n = 1024
+        rays = rng.rand(n, 11).astype(np.float32)
+        rays[:, 3:6] /= np.linalg.norm(rays[:, 3:6], axis=1, keepdims=True)
+        rays[:, 6], rays[:, 7] = 0.0, 1.0
+        rgbs = rng.rand(n, 3).astype(np.float32)
+        ts = rng.randint(0, 5, n).astype(np.int32)
+
+        cfg = Config(model="sat-nerf", batch_size=128, fc_units=32,
+                     fc_layers=2, n_samples=8, max_train_steps=100,
+                     sc_lambda=0.0)
+        mesh = make_mesh()
+        system = NeRFSystem(cfg, dataset_len=n, mesh=mesh)
+        state = system.init_state(jax.random.PRNGKey(0))
+        _, (r, g, t) = shard_rays(mesh, rays, rgbs, ts)
+        step = system.make_train_step()
+        key = jax.random.PRNGKey(1)
+        losses = []
+        for _ in range(3):
+            state, m = step(state, {"rays": r, "rgbs": g, "ts": t}, key)
+            losses.append(float(m["loss"]))
+
+        multi = sorted(worker_results, key=lambda r: r["proc"])[0]
+        np.testing.assert_allclose(losses, multi["losses"], rtol=1e-5)
