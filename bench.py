@@ -141,10 +141,13 @@ def main():
         state, m = step(state, data, key)
     float(m["loss"])
 
+    # steps chain through the donated state, so fetching the FINAL step's
+    # loss forces the whole sequence; a per-step block_until_ready would add
+    # one tunnel RTT (~30-56 ms) per step that the real training loop
+    # (train/loop.py) never pays — same methodology as the render mode below
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, m = step(state, data, key)
-        jax.block_until_ready(m["loss"])
     float(m["loss"])
     dt = time.perf_counter() - t0
 
