@@ -29,6 +29,9 @@ from satnerf_tpu.ops.pallas.fused_mlp import (
     _dot,
     _dot_t_lhs,
     _dot_t_rhs,
+    _ray_selector,
+    _ray_tile,
+    _sample_onehot,
     fast_cos,
     fast_sin,
 )
@@ -351,6 +354,171 @@ def _vjp_bwd(layers, skip, n_freq_xyz, n_freq_dir, rgb_padding, dtype,
 
 
 fused_nerf_packed.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------- fused render (serving)
+#
+# One-kernel render for the nerf variant, mirroring fused_mlp's
+# fused_render_rays: sample expansion o + d*z, positional encodings, field,
+# AND alpha compositing all happen in VMEM; HBM traffic is (R, 8) rays +
+# (R, S) depths in, one (R, 8) per-ray product row out. Compositor math is
+# render/composite.py's non-shadow branch (reference models/nerf.py:111-132:
+# no irradiance modulation, no [0,1] clip).
+
+
+def _expand_rays_nerf(rays, z):
+    """(R, 8) rays [o(0:3) | d(3:6)] + (R, S) depths -> (R*S, 8) point
+    inputs [xyz(0:3) | dir(3:6)], xyz = o + d*z. Same relayout-free matmul
+    machinery as fused_mlp._expand_rays."""
+    r, s = z.shape
+    p = r * s
+    sel = _ray_selector(r, s)
+    rb = _dot(sel, rays)                                         # (P, 8)
+    z_rows = _dot(sel, z)                                        # (P, S)
+
+    ji = jax.lax.broadcasted_iota(jnp.int32, (p, r), 1)
+    r_col = jnp.sum(sel.astype(jnp.int32) * ji, axis=1, keepdims=True)
+    q_col = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    s_col = q_col - s * r_col
+    si = jax.lax.broadcasted_iota(jnp.int32, (p, s), 1)
+    z_col = jnp.sum(z_rows * (si == s_col).astype(jnp.float32),
+                    axis=1, keepdims=True)                       # (P, 1)
+
+    ri = jax.lax.broadcasted_iota(jnp.int32, (IN_COLS, IN_COLS), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (IN_COLS, IN_COLS), 1)
+    keep = ((ri == ci) & (ri < 6)).astype(jnp.float32)   # o at 0:3, d at 3:6
+    move_d = ((ri == ci + 3) & (ci < 3)).astype(jnp.float32)  # d -> xyz lanes
+    return _dot(rb, keep) + _dot(rb, move_d) * z_col
+
+
+def _composite_tile_nerf(sel, onehot, z, rgb, sigma, weights_out=False):
+    """Non-shadow compositing of a (tile_r rays x S samples) tile: weights
+    from sigma, then per-ray rgb/depth/opacity integrals (no irradiance, no
+    clip — render/composite.py:61-62)."""
+    r, s = z.shape
+
+    sigma_mat = _dot_t_lhs(sel, sigma * onehot)             # (R, S)
+    ri_s = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    ci_s = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    shift_up = (ri_s == ci_s + 1).astype(jnp.float32)
+    z_next = _dot(z, shift_up)
+    si_r = jax.lax.broadcasted_iota(jnp.int32, (r, s), 1)
+    deltas = jnp.where(si_r == s - 1, 1e10, z_next - z)
+
+    x = deltas * jax.nn.relu(sigma_mat)
+    one_m_alpha = jnp.exp(-x)
+    alpha = 1.0 - one_m_alpha
+    lt = jnp.log(one_m_alpha + 1e-10)
+    strict_lower = (ri_s < ci_s).astype(jnp.float32)
+    transparency = jnp.exp(_dot(lt, strict_lower))
+    weights = alpha * transparency                          # (R, S)
+
+    depth = jnp.sum(weights * z, axis=1, keepdims=True)
+    opacity = jnp.sum(weights, axis=1, keepdims=True)
+    w_pt = jnp.sum(_dot(sel, weights) * onehot, axis=1, keepdims=True)
+    rgb_ray = _dot_t_lhs(sel, w_pt * rgb)                   # (R, 3)
+
+    out = jnp.concatenate(
+        [rgb_ray, depth, opacity,
+         jnp.zeros((r, OUT_COLS - 5), jnp.float32)], axis=-1
+    )
+    if weights_out:
+        return out, weights
+    return out
+
+
+def _make_render_kernel_rays_nerf(layers, skip, n_freq_xyz, n_freq_dir,
+                                  rgb_padding, dtype, weights_out=False):
+    def kernel(rays_ref, z_ref, *w_refs):
+        n_out = 2 if weights_out else 1
+        out_ref = w_refs[-n_out]
+        w = {k: r[...] for k, r in zip(_ORDER, w_refs[:-n_out])}
+        z = z_ref[...]
+        r, s = z.shape
+        xin = _expand_rays_nerf(rays_ref[...], z)
+        rgb, sigma = _forward(xin, w, layers, skip, n_freq_xyz, n_freq_dir,
+                              rgb_padding, dtype)
+        sel, onehot = _sample_onehot(r, s)
+        res = _composite_tile_nerf(sel, onehot, z, rgb, sigma,
+                                   weights_out=weights_out)
+        if weights_out:
+            out_ref[...], w_refs[-1][...] = res
+        else:
+            out_ref[...] = res
+
+    return kernel
+
+
+def fused_nerf_render_rays(params: dict, rays_o, rays_d, z_vals, *,
+                           layers: int = 8, feat: int = 256, skip: int = 4,
+                           n_freq_xyz: int = 10, n_freq_dir: int = 4,
+                           rgb_padding: float = 0.001, dtype=jnp.bfloat16,
+                           return_weights: bool = False) -> dict:
+    """Serving path for the nerf variant: render rays to per-ray products
+    entirely in one kernel. Returns {"rgb": (R,3), "depth": (R,),
+    "opacity": (R,)} (+ "weights" (R,S) for hierarchical sampling)."""
+    r, s = z_vals.shape
+    rays8 = jnp.concatenate(
+        [rays_o.astype(jnp.float32), rays_d.astype(jnp.float32),
+         jnp.zeros((r, IN_COLS - 6), jnp.float32)], axis=-1,
+    )
+    packed = pack_params(params, layers, feat, skip, n_freq_xyz, n_freq_dir,
+                         dtype)
+    plist = [packed[k] for k in _ORDER]
+
+    z = z_vals.astype(jnp.float32)
+    tile_r = _ray_tile(s)
+    r_pad = ((r + tile_r - 1) // tile_r) * tile_r
+    if r_pad != r:
+        rays8 = jnp.pad(rays8, ((0, r_pad - r), (0, 0)))
+        z = jnp.pad(z, ((0, r_pad - r), (0, 0)), constant_values=1.0)
+
+    kernel = _make_render_kernel_rays_nerf(layers, skip, n_freq_xyz,
+                                           n_freq_dir, rgb_padding, dtype,
+                                           weights_out=return_weights)
+    w_specs = [
+        pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for p in plist
+    ]
+    out_specs = pl.BlockSpec((tile_r, OUT_COLS), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((r_pad, OUT_COLS), jnp.float32)
+    if return_weights:
+        out_specs = (out_specs,
+                     pl.BlockSpec((tile_r, s), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((r_pad, s), jnp.float32))
+    out = pl.pallas_call(
+        kernel,
+        grid=(r_pad // tile_r,),
+        in_specs=[
+            pl.BlockSpec((tile_r, IN_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_r, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(rays8, z, *plist)
+    weights = None
+    if return_weights:
+        out, weights = out
+        weights = weights[:r]
+    out = out[:r]
+    res = {
+        "rgb": out[:, 0:3],
+        "depth": out[:, 3],
+        "opacity": out[:, 4],
+    }
+    if return_weights:
+        res["weights"] = weights
+    return res
 
 
 def fused_nerf_apply(params: dict, xyz, view_dir, *, layers: int = 8,

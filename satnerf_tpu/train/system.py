@@ -235,12 +235,15 @@ class NeRFSystem:
 
     @property
     def _use_fused_product_render(self) -> bool:
-        """Eval/serving can composite inside the kernel (fused_render_rays)
-        when the SIREN ray-mode path is active. n_importance > 0 runs as a
-        two-kernel dispatch: coarse render (with a per-sample weights output)
-        -> sample_pdf -> fine render over the sorted union of samples
-        (reference rendering.py:118-156)."""
-        return self.fused_mode == "rays"
+        """Eval/serving can composite inside the kernel (fused_render_rays /
+        fused_nerf_render_rays) whenever a fused field kernel is active —
+        the SIREN ray-mode path, or any fused mode on the nerf variant
+        (whose ray-mode render kernel exists even though its train path is
+        point-mode). n_importance > 0 runs as a two-kernel dispatch: coarse
+        render (with a per-sample weights output) -> sample_pdf -> fine
+        render over the sorted union of samples (rendering.py:118-156)."""
+        return (self.fused_mode == "rays"
+                or (self.use_fused and self.cfg.model == "nerf"))
 
     @property
     def _use_fused_train_render(self) -> bool:
@@ -267,10 +270,12 @@ class NeRFSystem:
         eval/images.py's host-side `(weights * q).sum(-2)` reductions
         (reference eval_satnerf.py:95-146) are the identity."""
         from satnerf_tpu.ops.pallas.fused_mlp import fused_render_rays
+        from satnerf_tpu.ops.pallas.fused_nerf import fused_nerf_render_rays
         from satnerf_tpu.render.sampling import sample_pdf, stratified_zvals
 
         cfg = self.eval_render_cfg
         n_imp = cfg.n_importance
+        is_nerf = self.cfg.model == "nerf"
         t_embed = self._embed_ts(params, ts)
         rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
         near, far = rays[:, 6:7], rays[:, 7:8]
@@ -280,6 +285,12 @@ class NeRFSystem:
                                   cfg.use_disp)
 
         def run(model_params, z, want_weights):
+            if is_nerf:
+                return fused_nerf_render_rays(
+                    model_params, rays_o, rays_d, z,
+                    layers=self.cfg.fc_layers, feat=self.cfg.fc_units, skip=4,
+                    dtype=self.compute_dtype, return_weights=want_weights,
+                )
             return fused_render_rays(
                 model_params, rays_o, rays_d, sun_d, t_embed, z,
                 layers=self.cfg.fc_layers, feat=self.cfg.fc_units, skip=4,
@@ -294,10 +305,13 @@ class NeRFSystem:
                 f"depth_{suffix}": out["depth"],
                 f"opacity_{suffix}": out["opacity"],
                 f"weights_{suffix}": jnp.ones((n, 1), jnp.float32),
-                f"sun_{suffix}": out["sun"][:, None, :],
-                f"albedo_{suffix}": out["albedo"][:, None, :],
-                f"sky_{suffix}": out["sky"][:, None, :],
             }
+            if not is_nerf:
+                res.update({
+                    f"sun_{suffix}": out["sun"][:, None, :],
+                    f"albedo_{suffix}": out["albedo"][:, None, :],
+                    f"sky_{suffix}": out["sky"][:, None, :],
+                })
             if "beta" in out:
                 res[f"beta_{suffix}"] = out["beta"][:, None, :]
             return res

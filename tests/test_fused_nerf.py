@@ -68,3 +68,37 @@ class TestFusedNerfGradients:
                 np.asarray(b) / scale, np.asarray(a) / scale, atol=2e-3,
                 err_msg=jax.tree_util.keystr(path),
             )
+
+
+class TestFusedNerfRender:
+    def test_render_rays_matches_flax_composite(self):
+        """One-kernel nerf render (expansion + posenc + field + compositing)
+        vs the flax model + render/composite.py non-shadow branch."""
+        from satnerf_tpu.render.composite import composite
+
+        m, params, _, _ = _setup()
+        rng = np.random.RandomState(3)
+        R, S = 24, 8
+        rays_o = jnp.array(rng.randn(R, 3).astype(np.float32) * 0.2)
+        rays_d = jnp.array(rng.randn(R, 3).astype(np.float32))
+        rays_d = rays_d / jnp.linalg.norm(rays_d, axis=1, keepdims=True)
+        z_vals = jnp.array(
+            np.sort(rng.rand(R, S).astype(np.float32), axis=1) + 0.1
+        )
+
+        xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[:, :, None]
+        vd = jnp.broadcast_to(rays_d[:, None, :], xyz.shape)
+        ref = composite(m.apply({"params": params}, xyz, view_dir=vd),
+                        z_vals, shadow=False)
+
+        with pltpu.force_tpu_interpret_mode():
+            out = FN.fused_nerf_render_rays(
+                params, rays_o, rays_d, z_vals, layers=8, feat=32,
+                dtype=jnp.float32, return_weights=True,
+            )
+        np.testing.assert_allclose(out["rgb"], ref["rgb"], atol=1e-3)
+        np.testing.assert_allclose(out["depth"], ref["depth"], atol=1e-3)
+        np.testing.assert_allclose(out["weights"], ref["weights"], atol=1e-3)
+        np.testing.assert_allclose(
+            out["opacity"], ref["weights"].sum(-1), atol=1e-3
+        )

@@ -322,3 +322,39 @@ class TestFusedProductRender:
             err = np.abs(a - b).reshape(a.shape[0], -1).max(-1)
             assert np.median(err) < 2e-4, (k, np.median(err))
             assert (err < 2e-3).mean() > 0.97, (k, (err < 2e-3).mean())
+
+
+class TestFusedNerfProductRender:
+    def test_nerf_variant_dispatch(self, rng, eight_devices):
+        """The nerf variant serves through fused_nerf_render_rays (any fused
+        mode — its train path is point-mode but the render kernel is
+        ray-mode), including the fine-model two-kernel dispatch."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        rays, rgbs, ts = _toy_data(rng, n=128)
+        mesh = make_mesh()
+        cfg_f = _small_cfg(model="nerf", fused="on", chunk=128,
+                           n_importance=4)
+        cfg_o = _small_cfg(model="nerf", fused="off", chunk=128,
+                           n_importance=4)
+        sys_f = NeRFSystem(cfg_f, dataset_len=2048, mesh=mesh)
+        sys_o = NeRFSystem(cfg_o, dataset_len=2048, mesh=mesh)
+        assert sys_f._use_fused_product_render
+        assert not sys_o._use_fused_product_render
+        params = sys_o.init_params(jax.random.PRNGKey(0))
+
+        with pltpu.force_tpu_interpret_mode():
+            res_f = sys_f.render_image(params, rays, None)
+        res_o = sys_o.render_image(params, rays, None)
+
+        assert res_f["rgb_fine"].shape == (128, 3)
+        for k in ("rgb_coarse", "depth_coarse"):
+            np.testing.assert_allclose(np.asarray(res_f[k]),
+                                       np.asarray(res_o[k]), atol=2e-3,
+                                       err_msg=k)
+        # fine pass goes through sample_pdf: tolerate CDF-edge outliers
+        for k in ("rgb_fine", "depth_fine"):
+            a, b = np.asarray(res_f[k]), np.asarray(res_o[k])
+            err = np.abs(a - b).reshape(a.shape[0], -1).max(-1)
+            assert np.median(err) < 2e-3, (k, np.median(err))
+            assert (err < 2e-2).mean() > 0.95, (k, (err < 2e-2).mean())
