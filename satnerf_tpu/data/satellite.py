@@ -176,7 +176,13 @@ class SatelliteScene:
         rays = self._image_rays(d)
         if self.cache_dir is not None:
             os.makedirs(self.cache_dir, exist_ok=True)
-            np.save(cache_path, rays)
+            # atomic publish: multi-host runs (parallel/distributed.py) have
+            # every process racing to build the same cache — write to a
+            # per-process tmp file and rename, so a concurrent reader never
+            # sees a half-written .npy
+            tmp = f"{cache_path}.{os.getpid()}.tmp.npy"
+            np.save(tmp, rays)  # ends in .npy so np.save appends nothing
+            os.replace(tmp, cache_path)
         return rays
 
     def _load_one(self, json_path: str, t: int):

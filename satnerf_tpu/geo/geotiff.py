@@ -213,7 +213,7 @@ def _parse_gdal_metadata(xml: str) -> dict:
     """GDAL_METADATA XML payload -> {name: value}."""
     def unesc(v):
         return (v.replace("&lt;", "<").replace("&gt;", ">")
-                .replace("&amp;", "&"))
+                .replace("&quot;", '"').replace("&amp;", "&"))
 
     out = {}
     for m in re.finditer(r'<Item\s+name="([^"]+)"[^>]*>(.*?)</Item>', xml,
@@ -226,8 +226,10 @@ def _gdal_metadata_xml(items: dict) -> str:
     """Inverse of _parse_gdal_metadata (GDAL's on-disk layout)."""
 
     def esc(v):
+        # quote must be escaped too: the name sits inside an XML attribute
+        # and the reader's regex stops at the first unescaped quote
         return (str(v).replace("&", "&amp;").replace("<", "&lt;")
-                .replace(">", "&gt;"))
+                .replace(">", "&gt;").replace('"', "&quot;"))
 
     body = "".join(f'  <Item name="{esc(k)}">{esc(v)}</Item>\n'
                    for k, v in items.items())

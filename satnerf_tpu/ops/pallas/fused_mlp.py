@@ -367,115 +367,114 @@ def _point_bwd_from_saves(xin, g, w, grad_refs, h, trunk_save, hs, layers,
     """Backprop a per-point packed cotangent `g` (N, OUT_COLS layout:
     rgb 0:3 | sigma 3 | sun_v 4 | sky 5:8 | beta 8) through heads + trunk
     using precomputed forward saves; accumulate weight grads, return d_in."""
-    if True:
-        xb = xin.astype(dtype)
-        fb = hs["feats"].astype(dtype)
-        hb = h.astype(dtype)
+    xb = xin.astype(dtype)
+    fb = hs["feats"].astype(dtype)
+    hb = h.astype(dtype)
 
-        def acc(name, val):
-            grad_refs[name][...] += val
+    def acc(name, val):
+        grad_refs[name][...] += val
 
-        t_rows = xin.shape[0]
+    t_rows = xin.shape[0]
 
-        def pad128(v):
-            return jnp.concatenate(
-                [v, jnp.zeros((t_rows, 128 - v.shape[1]), jnp.float32)],
-                axis=-1,
-            )
+    def pad128(v):
+        return jnp.concatenate(
+            [v, jnp.zeros((t_rows, 128 - v.shape[1]), jnp.float32)],
+            axis=-1,
+        )
 
-        d_in = jnp.zeros((xin.shape[0], IN_COLS), jnp.float32)
+    d_in = jnp.zeros((xin.shape[0], IN_COLS), jnp.float32)
 
-        # ---- rgb branch
-        g_rgb = g[:, 0:3] * (1 + 2 * rgb_padding)
-        rgb_s3 = hs["rgb_s"][:, 0:3]
-        d_rgb1_pre = pad128(g_rgb * rgb_s3 * (1.0 - rgb_s3))
-        acc("Wrgb1", _dot_t_lhs(hs["r"].astype(dtype), d_rgb1_pre.astype(dtype)))
-        acc("brgb1", jnp.sum(d_rgb1_pre, axis=0))
-        d_r = _dot_t_rhs(d_rgb1_pre.astype(dtype), w["Wrgb1"])
-        d_r_pre = d_r * fast_cos(hs["r_pre"])
-        acc("Wrgb0", _dot_t_lhs(fb, d_r_pre.astype(dtype)))
-        acc("brgb0", jnp.sum(d_r_pre, axis=0))
-        d_feats = _dot_t_rhs(d_r_pre.astype(dtype), w["Wrgb0"])
+    # ---- rgb branch
+    g_rgb = g[:, 0:3] * (1 + 2 * rgb_padding)
+    rgb_s3 = hs["rgb_s"][:, 0:3]
+    d_rgb1_pre = pad128(g_rgb * rgb_s3 * (1.0 - rgb_s3))
+    acc("Wrgb1", _dot_t_lhs(hs["r"].astype(dtype), d_rgb1_pre.astype(dtype)))
+    acc("brgb1", jnp.sum(d_rgb1_pre, axis=0))
+    d_r = _dot_t_rhs(d_rgb1_pre.astype(dtype), w["Wrgb1"])
+    d_r_pre = d_r * fast_cos(hs["r_pre"])
+    acc("Wrgb0", _dot_t_lhs(fb, d_r_pre.astype(dtype)))
+    acc("brgb0", jnp.sum(d_r_pre, axis=0))
+    d_feats = _dot_t_rhs(d_r_pre.astype(dtype), w["Wrgb0"])
 
-        # ---- sun branch
-        sunv = hs["sunv"]
-        d_sun3_pre = pad128(g[:, 4:5] * sunv[:, 0:1] * (1.0 - sunv[:, 0:1]))
-        acc("Wsun3", _dot_t_lhs(hs["s2"].astype(dtype), d_sun3_pre.astype(dtype)))
-        acc("bsun3", jnp.sum(d_sun3_pre, axis=0))
-        d_s2 = _dot_t_rhs(d_sun3_pre.astype(dtype), w["Wsun3"])
-        d_s2_pre = d_s2 * fast_cos(hs["s2_pre"])
-        acc("Wsun2", _dot_t_lhs(hs["s1"].astype(dtype), d_s2_pre.astype(dtype)))
-        acc("bsun2", jnp.sum(d_s2_pre, axis=0))
-        d_s1 = _dot_t_rhs(d_s2_pre.astype(dtype), w["Wsun2"])
-        d_s1_pre = d_s1 * fast_cos(hs["s1_pre"])
-        acc("Wsun1", _dot_t_lhs(hs["s0"].astype(dtype), d_s1_pre.astype(dtype)))
-        acc("bsun1", jnp.sum(d_s1_pre, axis=0))
-        d_s0 = _dot_t_rhs(d_s1_pre.astype(dtype), w["Wsun1"])
-        d_s0_pre = d_s0 * fast_cos(hs["s0_pre"])
-        acc("Wsun0h", _dot_t_lhs(fb, d_s0_pre.astype(dtype)))
-        acc("Wsun0d", _dot_t_lhs(xb, d_s0_pre.astype(dtype)))
-        acc("bsun0", jnp.sum(d_s0_pre, axis=0))
-        d_feats += _dot_t_rhs(d_s0_pre.astype(dtype), w["Wsun0h"])
-        d_in += _dot_t_rhs(d_s0_pre.astype(dtype), w["Wsun0d"])
+    # ---- sun branch
+    sunv = hs["sunv"]
+    d_sun3_pre = pad128(g[:, 4:5] * sunv[:, 0:1] * (1.0 - sunv[:, 0:1]))
+    acc("Wsun3", _dot_t_lhs(hs["s2"].astype(dtype), d_sun3_pre.astype(dtype)))
+    acc("bsun3", jnp.sum(d_sun3_pre, axis=0))
+    d_s2 = _dot_t_rhs(d_sun3_pre.astype(dtype), w["Wsun3"])
+    d_s2_pre = d_s2 * fast_cos(hs["s2_pre"])
+    acc("Wsun2", _dot_t_lhs(hs["s1"].astype(dtype), d_s2_pre.astype(dtype)))
+    acc("bsun2", jnp.sum(d_s2_pre, axis=0))
+    d_s1 = _dot_t_rhs(d_s2_pre.astype(dtype), w["Wsun2"])
+    d_s1_pre = d_s1 * fast_cos(hs["s1_pre"])
+    acc("Wsun1", _dot_t_lhs(hs["s0"].astype(dtype), d_s1_pre.astype(dtype)))
+    acc("bsun1", jnp.sum(d_s1_pre, axis=0))
+    d_s0 = _dot_t_rhs(d_s1_pre.astype(dtype), w["Wsun1"])
+    d_s0_pre = d_s0 * fast_cos(hs["s0_pre"])
+    acc("Wsun0h", _dot_t_lhs(fb, d_s0_pre.astype(dtype)))
+    acc("Wsun0d", _dot_t_lhs(xb, d_s0_pre.astype(dtype)))
+    acc("bsun0", jnp.sum(d_s0_pre, axis=0))
+    d_feats += _dot_t_rhs(d_s0_pre.astype(dtype), w["Wsun0h"])
+    d_in += _dot_t_rhs(d_s0_pre.astype(dtype), w["Wsun0d"])
 
-        # ---- sky branch
-        sky = hs["sky"]
-        d_sky1_pre = pad128(g[:, 5:8] * sky[:, 0:3] * (1.0 - sky[:, 0:3]))
-        acc("Wsky1", _dot_t_lhs(hs["skyh"].astype(dtype), d_sky1_pre.astype(dtype)))
-        acc("bsky1", jnp.sum(d_sky1_pre, axis=0))
-        d_skyh = _dot_t_rhs(d_sky1_pre.astype(dtype), w["Wsky1"])
-        d_skyh_pre = d_skyh * (hs["skyh"] > 0)
-        acc("Wsky0", _dot_t_lhs(xb, d_skyh_pre.astype(dtype)))
-        acc("bsky0", jnp.sum(d_skyh_pre, axis=0))
-        d_in += _dot_t_rhs(d_skyh_pre.astype(dtype), w["Wsky0"])
+    # ---- sky branch
+    sky = hs["sky"]
+    d_sky1_pre = pad128(g[:, 5:8] * sky[:, 0:3] * (1.0 - sky[:, 0:3]))
+    acc("Wsky1", _dot_t_lhs(hs["skyh"].astype(dtype), d_sky1_pre.astype(dtype)))
+    acc("bsky1", jnp.sum(d_sky1_pre, axis=0))
+    d_skyh = _dot_t_rhs(d_sky1_pre.astype(dtype), w["Wsky1"])
+    d_skyh_pre = d_skyh * (hs["skyh"] > 0)
+    acc("Wsky0", _dot_t_lhs(xb, d_skyh_pre.astype(dtype)))
+    acc("bsky0", jnp.sum(d_skyh_pre, axis=0))
+    d_in += _dot_t_rhs(d_skyh_pre.astype(dtype), w["Wsky0"])
 
-        # ---- beta branch
-        if use_beta:
-            beta = hs["beta"]
-            # softplus' (pre) = sigmoid(pre) = 1 - exp(-softplus(pre))
-            d_beta1_pre = pad128(g[:, 8:9] * (1.0 - jnp.exp(-beta[:, 0:1])))
-            acc("Wbeta1", _dot_t_lhs(hs["bh"].astype(dtype),
-                                     d_beta1_pre.astype(dtype)))
-            acc("bbeta1", jnp.sum(d_beta1_pre, axis=0))
-            d_bh = _dot_t_rhs(d_beta1_pre.astype(dtype), w["Wbeta1"])
-            d_bh_pre = d_bh * fast_cos(hs["bh_pre"])
-            acc("Wbeta0h", _dot_t_lhs(fb, d_bh_pre.astype(dtype)))
-            acc("Wbeta0t", _dot_t_lhs(xb, d_bh_pre.astype(dtype)))
-            acc("bbeta0", jnp.sum(d_bh_pre, axis=0))
-            d_feats += _dot_t_rhs(d_bh_pre.astype(dtype), w["Wbeta0h"])
-            d_in += _dot_t_rhs(d_bh_pre.astype(dtype), w["Wbeta0t"])
+    # ---- beta branch
+    if use_beta:
+        beta = hs["beta"]
+        # softplus' (pre) = sigmoid(pre) = 1 - exp(-softplus(pre))
+        d_beta1_pre = pad128(g[:, 8:9] * (1.0 - jnp.exp(-beta[:, 0:1])))
+        acc("Wbeta1", _dot_t_lhs(hs["bh"].astype(dtype),
+                                 d_beta1_pre.astype(dtype)))
+        acc("bbeta1", jnp.sum(d_beta1_pre, axis=0))
+        d_bh = _dot_t_rhs(d_beta1_pre.astype(dtype), w["Wbeta1"])
+        d_bh_pre = d_bh * fast_cos(hs["bh_pre"])
+        acc("Wbeta0h", _dot_t_lhs(fb, d_bh_pre.astype(dtype)))
+        acc("Wbeta0t", _dot_t_lhs(xb, d_bh_pre.astype(dtype)))
+        acc("bbeta0", jnp.sum(d_bh_pre, axis=0))
+        d_feats += _dot_t_rhs(d_bh_pre.astype(dtype), w["Wbeta0h"])
+        d_in += _dot_t_rhs(d_bh_pre.astype(dtype), w["Wbeta0t"])
 
-        # ---- feats + sigma into trunk output
-        acc("Wfeat", _dot_t_lhs(hb, d_feats.astype(dtype)))
-        acc("bfeat", jnp.sum(d_feats, axis=0))
-        d_h = _dot_t_rhs(d_feats.astype(dtype), w["Wfeat"])
+    # ---- feats + sigma into trunk output
+    acc("Wfeat", _dot_t_lhs(hb, d_feats.astype(dtype)))
+    acc("bfeat", jnp.sum(d_feats, axis=0))
+    d_h = _dot_t_rhs(d_feats.astype(dtype), w["Wfeat"])
 
-        sigma = jax.nn.softplus(hs["sigma_pre"][:, 0:1])
-        d_sig_pre = pad128(g[:, 3:4] * (1.0 - jnp.exp(-sigma)))
-        acc("Wsig", _dot_t_lhs(hb, d_sig_pre.astype(dtype)))
-        acc("bsig", jnp.sum(d_sig_pre, axis=0))
-        d_h += _dot_t_rhs(d_sig_pre.astype(dtype), w["Wsig"])
+    sigma = jax.nn.softplus(hs["sigma_pre"][:, 0:1])
+    d_sig_pre = pad128(g[:, 3:4] * (1.0 - jnp.exp(-sigma)))
+    acc("Wsig", _dot_t_lhs(hb, d_sig_pre.astype(dtype)))
+    acc("bsig", jnp.sum(d_sig_pre, axis=0))
+    d_h += _dot_t_rhs(d_sig_pre.astype(dtype), w["Wsig"])
 
-        # ---- trunk backward: accumulate straight into the per-layer
-        # slices of the resident grad refs
-        for l in range(layers - 1, 0, -1):
-            cosv, h_prev = trunk_save[l]
-            d_pre = d_h * cosv
-            grad_refs["B"][l - 1] += _dot_t_lhs(
-                h_prev.astype(dtype), d_pre.astype(dtype)
-            )
-            grad_refs["bt"][l] += jnp.sum(d_pre, axis=0)
-            if l == skip:
-                acc("C", _dot_t_lhs(xb, d_pre.astype(dtype)))
-                d_in += _dot_t_rhs(d_pre.astype(dtype), w["C"])
-            d_h = _dot_t_rhs(d_pre.astype(dtype), w["B"][l - 1])
-        cos0, _ = trunk_save[0]
-        d_pre0 = d_h * cos0
-        acc("A", _dot_t_lhs(xb, d_pre0.astype(dtype)))
-        grad_refs["bt"][0] += jnp.sum(d_pre0, axis=0)
-        d_in += _dot_t_rhs(d_pre0.astype(dtype), w["A"])
+    # ---- trunk backward: accumulate straight into the per-layer
+    # slices of the resident grad refs
+    for l in range(layers - 1, 0, -1):
+        cosv, h_prev = trunk_save[l]
+        d_pre = d_h * cosv
+        grad_refs["B"][l - 1] += _dot_t_lhs(
+            h_prev.astype(dtype), d_pre.astype(dtype)
+        )
+        grad_refs["bt"][l] += jnp.sum(d_pre, axis=0)
+        if l == skip:
+            acc("C", _dot_t_lhs(xb, d_pre.astype(dtype)))
+            d_in += _dot_t_rhs(d_pre.astype(dtype), w["C"])
+        d_h = _dot_t_rhs(d_pre.astype(dtype), w["B"][l - 1])
+    cos0, _ = trunk_save[0]
+    d_pre0 = d_h * cos0
+    acc("A", _dot_t_lhs(xb, d_pre0.astype(dtype)))
+    grad_refs["bt"][0] += jnp.sum(d_pre0, axis=0)
+    d_in += _dot_t_rhs(d_pre0.astype(dtype), w["A"])
 
-        return d_in
+    return d_in
 
 
 def _make_bwd_kernel(layers, skip, use_beta, rgb_padding, dtype):
@@ -572,6 +571,21 @@ def _expand_rays(rays, z, tau):
     return _dot(rb, shift_or) + _dot(rb, shift_d) * z_col
 
 
+def _tgrad_remap(sel, d_in, tau):
+    """Per-ray t-embedding cotangent from per-point input cotangents: only
+    the t input is trainable, so the ray grad = sum of the ray's per-sample
+    cotangents = Sel^T @ d_in (an MXU contraction over the point axis), with
+    point cols 6:6+tau remapped to ray cols 9:9+tau by a constant lane-shift
+    matmul (relayout-free, like _expand_rays). Shared by every ray-mode
+    backward kernel — the rays16 layout lives in exactly one place."""
+    d_ray = _dot_t_lhs(sel, d_in)                      # (R, 16)
+    ri16 = jax.lax.broadcasted_iota(jnp.int32, (IN_COLS, IN_COLS), 0)
+    ci16 = jax.lax.broadcasted_iota(jnp.int32, (IN_COLS, IN_COLS), 1)
+    shift_back = ((ri16 == ci16 - 3) & (ci16 >= 9)
+                  & (ci16 < 9 + tau)).astype(jnp.float32)
+    return _dot(d_ray, shift_back)
+
+
 def _make_fwd_kernel_rays(layers, skip, use_beta, rgb_padding, dtype, tau):
     def kernel(rays_ref, z_ref, *w_refs):
         out_ref = w_refs[-1]
@@ -622,17 +636,8 @@ def _make_bwd_kernel_rays(layers, skip, use_beta, rgb_padding, dtype, tau,
         g = g_ref[...]
         d_in = point_bwd(xin, g, w, grad_refs, layers, skip, use_beta,
                          rgb_padding, dtype)
-        # only the t-embedding input is trainable: per-ray grad = sum of the
-        # ray's per-sample cotangents = Sel^T @ d_in (an MXU contraction over
-        # the point axis), then remap point cols 6:6+tau to ray cols 9:9+tau
-        # with a constant lane-shift matmul (relayout-free, like _expand_rays)
         sel = _ray_selector(r_rows, s)
-        d_ray = _dot_t_lhs(sel, d_in)                      # (R, 16)
-        ri16 = jax.lax.broadcasted_iota(jnp.int32, (IN_COLS, IN_COLS), 0)
-        ci16 = jax.lax.broadcasted_iota(jnp.int32, (IN_COLS, IN_COLS), 1)
-        shift_back = ((ri16 == ci16 - 3) & (ci16 >= 9)
-                      & (ci16 < 9 + tau)).astype(jnp.float32)
-        din_ref[...] = _dot(d_ray, shift_back)
+        din_ref[...] = _tgrad_remap(sel, d_in, tau)
 
     return kernel
 
@@ -1296,14 +1301,7 @@ def _make_train_render_bwd_kernel(layers, skip, use_beta, rgb_padding, dtype,
         d_in = _point_bwd_from_saves(xin, g_pt, w, grad_refs, h, trunk_save,
                                      hs, layers, skip, use_beta, rgb_padding,
                                      dtype)
-        # per-ray t-embedding grad: reduce over the ray's samples and remap
-        # point cols 6:6+tau to ray cols 9:9+tau (same as _make_bwd_kernel_rays)
-        d_ray = _dot_t_lhs(sel, d_in)
-        ri16 = jax.lax.broadcasted_iota(jnp.int32, (IN_COLS, IN_COLS), 0)
-        ci16 = jax.lax.broadcasted_iota(jnp.int32, (IN_COLS, IN_COLS), 1)
-        shift_back = ((ri16 == ci16 - 3) & (ci16 >= 9)
-                      & (ci16 < 9 + tau)).astype(jnp.float32)
-        din_ref[...] = _dot(d_ray, shift_back)
+        din_ref[...] = _tgrad_remap(sel, d_in, tau)
 
     return kernel
 
@@ -1576,12 +1574,7 @@ def _make_train_loss_bwd_kernel(layers, skip, use_beta, rgb_padding, dtype,
         d_in = _point_bwd_from_saves(xin, g_pt, w, grad_refs, h, trunk_save,
                                      hs, layers, skip, use_beta, rgb_padding,
                                      dtype)
-        d_ray = _dot_t_lhs(sel, d_in)
-        ri16 = jax.lax.broadcasted_iota(jnp.int32, (IN_COLS, IN_COLS), 0)
-        ci16 = jax.lax.broadcasted_iota(jnp.int32, (IN_COLS, IN_COLS), 1)
-        shift_back = ((ri16 == ci16 - 3) & (ci16 >= 9)
-                      & (ci16 < 9 + tau)).astype(jnp.float32)
-        din_ref[...] = _dot(d_ray, shift_back)
+        din_ref[...] = _tgrad_remap(sel, d_in, tau)
 
     return kernel
 

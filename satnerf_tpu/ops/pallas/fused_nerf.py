@@ -29,7 +29,6 @@ from satnerf_tpu.ops.pallas.fused_mlp import (
     _dot,
     _dot_t_lhs,
     _dot_t_rhs,
-    _ray_selector,
     _ray_tile,
     _sample_onehot,
     fast_cos,
@@ -366,23 +365,14 @@ fused_nerf_packed.defvjp(_vjp_fwd, _vjp_bwd)
 # no irradiance modulation, no [0,1] clip).
 
 
-def _expand_rays_nerf(rays, z):
+def _expand_rays_nerf(rays, z, sel, onehot):
     """(R, 8) rays [o(0:3) | d(3:6)] + (R, S) depths -> (R*S, 8) point
     inputs [xyz(0:3) | dir(3:6)], xyz = o + d*z. Same relayout-free matmul
-    machinery as fused_mlp._expand_rays."""
-    r, s = z.shape
-    p = r * s
-    sel = _ray_selector(r, s)
+    machinery as fused_mlp._expand_rays; `sel`/`onehot` come from
+    fused_mlp._sample_onehot (computed once per tile, shared with the
+    compositor)."""
     rb = _dot(sel, rays)                                         # (P, 8)
-    z_rows = _dot(sel, z)                                        # (P, S)
-
-    ji = jax.lax.broadcasted_iota(jnp.int32, (p, r), 1)
-    r_col = jnp.sum(sel.astype(jnp.int32) * ji, axis=1, keepdims=True)
-    q_col = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    s_col = q_col - s * r_col
-    si = jax.lax.broadcasted_iota(jnp.int32, (p, s), 1)
-    z_col = jnp.sum(z_rows * (si == s_col).astype(jnp.float32),
-                    axis=1, keepdims=True)                       # (P, 1)
+    z_col = jnp.sum(_dot(sel, z) * onehot, axis=1, keepdims=True)  # (P, 1)
 
     ri = jax.lax.broadcasted_iota(jnp.int32, (IN_COLS, IN_COLS), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (IN_COLS, IN_COLS), 1)
@@ -435,10 +425,10 @@ def _make_render_kernel_rays_nerf(layers, skip, n_freq_xyz, n_freq_dir,
         w = {k: r[...] for k, r in zip(_ORDER, w_refs[:-n_out])}
         z = z_ref[...]
         r, s = z.shape
-        xin = _expand_rays_nerf(rays_ref[...], z)
+        sel, onehot = _sample_onehot(r, s)
+        xin = _expand_rays_nerf(rays_ref[...], z, sel, onehot)
         rgb, sigma = _forward(xin, w, layers, skip, n_freq_xyz, n_freq_dir,
                               rgb_padding, dtype)
-        sel, onehot = _sample_onehot(r, s)
         res = _composite_tile_nerf(sel, onehot, z, rgb, sigma,
                                    weights_out=weights_out)
         if weights_out:

@@ -47,6 +47,15 @@ def steps_per_epoch(dataset_len: int, batch_size: int) -> int:
     return max(1, dataset_len // batch_size)
 
 
+def epoch_draw_positions(step, spe: int, b_local: int, n_local: int):
+    """Permutation slots for `--sampling shuffle`: step s of an epoch reads
+    slots [s*b_local, (s+1)*b_local) of the per-epoch shard permutation, so
+    draws within an epoch are disjoint (spe*b_local <= n_local by the epoch
+    definition). Shared by the jitted step and its test."""
+    pos = (step % spe) * b_local + jnp.arange(b_local)
+    return pos % n_local
+
+
 @dataclass
 class TrainState:
     params: Any
@@ -558,12 +567,10 @@ class NeRFSystem:
             if shuffle and perm is not None:
                 # without-replacement epoch semantics (reference DataLoader,
                 # main.py:96-117): walk a per-epoch device-resident
-                # permutation of the local shard. spe*b_local <= n_local by
-                # the epoch definition, so all draws within an epoch are
-                # distinct; perm is refreshed at epoch boundaries by the
-                # loop (train/loop.py) from a per-epoch key.
-                pos = (state.step % spe) * b_local + jnp.arange(b_local)
-                idx = perm[pos % n_local]
+                # permutation of the local shard; perm is refreshed at epoch
+                # boundaries by the loop (train/loop.py) from a per-epoch key
+                idx = perm[epoch_draw_positions(state.step, spe, b_local,
+                                                n_local)]
             else:
                 idx = jax.random.randint(k_idx, (b_local,), 0, n_local)
             b_rays = rays[idx]
@@ -702,11 +709,18 @@ class NeRFSystem:
         if self.eval_mesh is not self.mesh:
             # multi-host run: params live replicated on the global mesh;
             # rehome them onto this host's eval mesh (pure local copy — a
-            # replicated array is fully addressable everywhere)
-            from satnerf_tpu.parallel.mesh import replicated
+            # replicated array is fully addressable everywhere). Cached by
+            # identity: validate() renders many images from the same params.
+            cached = getattr(self, "_rehomed_params", None)
+            if cached is not None and cached[0] is params:
+                params = cached[1]
+            else:
+                from satnerf_tpu.parallel.mesh import replicated
 
-            params = jax.device_put(jax.device_get(params),
-                                    replicated(self.eval_mesh))
+                rehomed = jax.device_put(jax.device_get(params),
+                                         replicated(self.eval_mesh))
+                self._rehomed_params = (params, rehomed)
+                params = rehomed
         # chunk must split evenly across the eval mesh's ray axis
         chunk = -(-self.cfg.chunk // n_eval) * n_eval
         n = rays.shape[0]

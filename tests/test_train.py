@@ -180,10 +180,11 @@ class TestShuffleSampling:
         assert last < first * 0.25, (first, last)
 
     def test_epoch_draws_are_disjoint(self, rng, eight_devices):
-        """Within one epoch every ray is visited at most once: encode the ray
-        index in the rgb target and recover each step's drawn indices from
-        the batch-mean rgb... instead, verify the index math directly: the
-        positions visited over an epoch tile [0, spe*b_local) exactly."""
+        """Within one epoch every ray is visited at most once — checked on
+        the PRODUCTION index function the jitted step uses
+        (system.epoch_draw_positions), not a re-derivation."""
+        from satnerf_tpu.train.system import epoch_draw_positions
+
         cfg = _small_cfg(batch_size=256, sampling="shuffle")
         mesh = make_mesh()
         n_dev = mesh.devices.size
@@ -193,10 +194,17 @@ class TestShuffleSampling:
         n_local = 2048 // n_dev
         seen = []
         for s in range(spe):
-            pos = (s % spe) * b_local + np.arange(b_local)
-            seen.extend((pos % n_local).tolist())
+            pos = np.asarray(epoch_draw_positions(
+                jnp.asarray(s, jnp.int32), spe, b_local, n_local
+            ))
+            seen.extend(pos.tolist())
         assert len(seen) == len(set(seen))  # no repeats within the epoch
         assert len(seen) == spe * b_local <= n_local
+        # and the epoch wraps: the next epoch's first step revisits slot 0
+        again = np.asarray(epoch_draw_positions(
+            jnp.asarray(spe, jnp.int32), spe, b_local, n_local
+        ))
+        np.testing.assert_array_equal(again, seen[:b_local])
 
 
 class TestSchedules:
