@@ -183,6 +183,68 @@ def _make_fwd_kernel(layers, skip, n_freq_xyz, n_freq_dir, rgb_padding, dtype):
     return kernel
 
 
+def _point_bwd_from_saves(g, w, grad_refs, sv, layers, skip, rgb_padding,
+                          dtype):
+    """Backprop a per-point packed cotangent `g` (N, OUT_COLS layout:
+    rgb 0:3 | sigma 3) through heads + trunk using the forward saves `sv`;
+    accumulate every weight grad into the resident refs. No input cotangent:
+    xyz/dirs are data and the nerf variant has no trainable inputs. Shared
+    by the point-mode backward kernel and the fused train-loss kernel."""
+    t = g.shape[0]
+    exb = sv["enc_x"].astype(dtype)
+    edb = sv["enc_d"].astype(dtype)
+    hb = sv["h"][layers - 1].astype(dtype)
+    fb = sv["feats"].astype(dtype)
+
+    def acc(name, val):
+        grad_refs[name][...] += val
+
+    def pad128(v):
+        return jnp.concatenate(
+            [v, jnp.zeros((t, 128 - v.shape[1]), jnp.float32)], axis=-1
+        )
+
+    # rgb head
+    rgb_s3 = sv["rgb_s"][:, 0:3]
+    d_rgb1 = pad128(g[:, 0:3] * (1 + 2 * rgb_padding)
+                    * rgb_s3 * (1.0 - rgb_s3))
+    acc("Wrgb1", _dot_t_lhs(sv["r"].astype(dtype), d_rgb1.astype(dtype)))
+    acc("brgb1", jnp.sum(d_rgb1, axis=0))
+    d_r = _dot_t_rhs(d_rgb1.astype(dtype), w["Wrgb1"]) * (sv["r"] > 0)
+    acc("Wrgb0h", _dot_t_lhs(fb, d_r.astype(dtype)))
+    acc("Wrgb0d", _dot_t_lhs(edb, d_r.astype(dtype)))
+    acc("brgb0", jnp.sum(d_r, axis=0))
+    d_feats = _dot_t_rhs(d_r.astype(dtype), w["Wrgb0h"])
+
+    # feats + sigma
+    acc("Wfeat", _dot_t_lhs(hb, d_feats.astype(dtype)))
+    acc("bfeat", jnp.sum(d_feats, axis=0))
+    d_h = _dot_t_rhs(d_feats.astype(dtype), w["Wfeat"])
+
+    sigma = jax.nn.softplus(
+        (_dot(hb, w["Wsig"]) + w["bsig"][None, :])[:, 0:1]
+    )
+    d_sig = pad128(g[:, 3:4] * (1.0 - jnp.exp(-sigma)))
+    acc("Wsig", _dot_t_lhs(hb, d_sig.astype(dtype)))
+    acc("bsig", jnp.sum(d_sig, axis=0))
+    d_h += _dot_t_rhs(d_sig.astype(dtype), w["Wsig"])
+
+    # trunk
+    for l in range(layers - 1, 0, -1):
+        d_pre = d_h * (sv["h"][l] > 0)
+        h_prev = sv["h"][l - 1]
+        grad_refs["B"][l - 1] += _dot_t_lhs(
+            h_prev.astype(dtype), d_pre.astype(dtype)
+        )
+        grad_refs["bt"][l] += jnp.sum(d_pre, axis=0)
+        if l == skip:
+            acc("C", _dot_t_lhs(exb, d_pre.astype(dtype)))
+        d_h = _dot_t_rhs(d_pre.astype(dtype), w["B"][l - 1])
+    d_pre0 = d_h * (sv["h"][0] > 0)
+    acc("A", _dot_t_lhs(exb, d_pre0.astype(dtype)))
+    grad_refs["bt"][0] += jnp.sum(d_pre0, axis=0)
+
+
 def _make_bwd_kernel(layers, skip, n_freq_xyz, n_freq_dir, rgb_padding, dtype):
     n_w = len(_ORDER)
 
@@ -199,65 +261,11 @@ def _make_bwd_kernel(layers, skip, n_freq_xyz, n_freq_dir, rgb_padding, dtype):
                     grad_refs[k].shape, grad_refs[k].dtype
                 )
 
-        xin = in_ref[...]
-        g = g_ref[...]
         sv = {}
-        _forward(xin, w, layers, skip, n_freq_xyz, n_freq_dir, rgb_padding,
-                 dtype, save=sv)
-        t = xin.shape[0]
-        exb = sv["enc_x"].astype(dtype)
-        edb = sv["enc_d"].astype(dtype)
-        h_last = sv["h"][layers - 1]
-        hb = h_last.astype(dtype)
-        fb = sv["feats"].astype(dtype)
-
-        def acc(name, val):
-            grad_refs[name][...] += val
-
-        def pad128(v):
-            return jnp.concatenate(
-                [v, jnp.zeros((t, 128 - v.shape[1]), jnp.float32)], axis=-1
-            )
-
-        # rgb head
-        rgb_s3 = sv["rgb_s"][:, 0:3]
-        d_rgb1 = pad128(g[:, 0:3] * (1 + 2 * rgb_padding)
-                        * rgb_s3 * (1.0 - rgb_s3))
-        acc("Wrgb1", _dot_t_lhs(sv["r"].astype(dtype), d_rgb1.astype(dtype)))
-        acc("brgb1", jnp.sum(d_rgb1, axis=0))
-        d_r = _dot_t_rhs(d_rgb1.astype(dtype), w["Wrgb1"]) * (sv["r"] > 0)
-        acc("Wrgb0h", _dot_t_lhs(fb, d_r.astype(dtype)))
-        acc("Wrgb0d", _dot_t_lhs(edb, d_r.astype(dtype)))
-        acc("brgb0", jnp.sum(d_r, axis=0))
-        d_feats = _dot_t_rhs(d_r.astype(dtype), w["Wrgb0h"])
-
-        # feats + sigma
-        acc("Wfeat", _dot_t_lhs(hb, d_feats.astype(dtype)))
-        acc("bfeat", jnp.sum(d_feats, axis=0))
-        d_h = _dot_t_rhs(d_feats.astype(dtype), w["Wfeat"])
-
-        sigma = jax.nn.softplus(
-            (_dot(hb, w["Wsig"]) + w["bsig"][None, :])[:, 0:1]
-        )
-        d_sig = pad128(g[:, 3:4] * (1.0 - jnp.exp(-sigma)))
-        acc("Wsig", _dot_t_lhs(hb, d_sig.astype(dtype)))
-        acc("bsig", jnp.sum(d_sig, axis=0))
-        d_h += _dot_t_rhs(d_sig.astype(dtype), w["Wsig"])
-
-        # trunk
-        for l in range(layers - 1, 0, -1):
-            d_pre = d_h * (sv["h"][l] > 0)
-            h_prev = sv["h"][l - 1]
-            grad_refs["B"][l - 1] += _dot_t_lhs(
-                h_prev.astype(dtype), d_pre.astype(dtype)
-            )
-            grad_refs["bt"][l] += jnp.sum(d_pre, axis=0)
-            if l == skip:
-                acc("C", _dot_t_lhs(exb, d_pre.astype(dtype)))
-            d_h = _dot_t_rhs(d_pre.astype(dtype), w["B"][l - 1])
-        d_pre0 = d_h * (sv["h"][0] > 0)
-        acc("A", _dot_t_lhs(exb, d_pre0.astype(dtype)))
-        grad_refs["bt"][0] += jnp.sum(d_pre0, axis=0)
+        _forward(in_ref[...], w, layers, skip, n_freq_xyz, n_freq_dir,
+                 rgb_padding, dtype, save=sv)
+        _point_bwd_from_saves(g_ref[...], w, grad_refs, sv, layers, skip,
+                              rgb_padding, dtype)
 
     return kernel
 
@@ -381,13 +389,17 @@ def _expand_rays_nerf(rays, z, sel, onehot):
     return _dot(rb, keep) + _dot(rb, move_d) * z_col
 
 
-def _composite_tile_nerf(sel, onehot, z, rgb, sigma, weights_out=False):
+def _composite_tile_nerf(sel, onehot, z, rgb, sigma, noise=None,
+                         weights_out=False):
     """Non-shadow compositing of a (tile_r rays x S samples) tile: weights
-    from sigma, then per-ray rgb/depth/opacity integrals (no irradiance, no
-    clip — render/composite.py:61-62)."""
+    from sigma (+ optional training sigma noise), then per-ray
+    rgb/depth/opacity integrals (no irradiance, no clip —
+    render/composite.py:61-62)."""
     r, s = z.shape
 
     sigma_mat = _dot_t_lhs(sel, sigma * onehot)             # (R, S)
+    if noise is not None:
+        sigma_mat = sigma_mat + noise
     ri_s = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
     ci_s = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
     shift_up = (ri_s == ci_s + 1).astype(jnp.float32)
@@ -509,6 +521,210 @@ def fused_nerf_render_rays(params: dict, rays_o, rays_d, z_vals, *,
     if return_weights:
         res["weights"] = weights
     return res
+
+
+# ------------------------------------------- fully fused train step (loss-in)
+#
+# nerf-variant analogue of fused_mlp.fused_train_loss_grads: ONE kernel for
+# the whole primary-pass gradient — expansion + posenc + field + compositing
+# + MSE loss + loss adjoint + compositor adjoint + field backward. The nerf
+# loss is plain MSE (reference metrics.py:8-19), so there is no warm-up mix
+# and no beta; solar correction does not exist for this variant.
+
+
+def _composite_bwd_tile_nerf(sel, onehot, z, noise, rgb, sigma, g_ray):
+    """Non-shadow compositor adjoint: per-ray cotangents (R, 8 layout:
+    rgb 0:3 | depth 3 | opacity 4) -> per-point field cotangents (P, 8
+    layout: rgb 0:3 | sigma 3). Same suffix-sum machinery as
+    fused_mlp._composite_bwd_tile minus irradiance and the clip mask
+    (render/composite.py:61-62 does not clip the non-shadow branch)."""
+    r, s = z.shape
+
+    sigma_mat = _dot_t_lhs(sel, sigma * onehot)
+    if noise is not None:
+        sigma_mat = sigma_mat + noise
+    ri_s = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    ci_s = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    shift_up = (ri_s == ci_s + 1).astype(jnp.float32)
+    z_next = _dot(z, shift_up)
+    si_r = jax.lax.broadcasted_iota(jnp.int32, (r, s), 1)
+    deltas = jnp.where(si_r == s - 1, 1e10, z_next - z)
+    x = deltas * jax.nn.relu(sigma_mat)
+    one_m_alpha = jnp.exp(-x)
+    alpha = 1.0 - one_m_alpha
+    lt = jnp.log(one_m_alpha + 1e-10)
+    strict_lower = (ri_s < ci_s).astype(jnp.float32)
+    transparency = jnp.exp(_dot(lt, strict_lower))
+    w_mat = alpha * transparency
+    w_pt = jnp.sum(_dot(sel, w_mat) * onehot, axis=1, keepdims=True)
+
+    g_rgb = g_ray[:, 0:3]
+    g_depth = g_ray[:, 3:4]
+    g_op = g_ray[:, 4:5]
+
+    G_rgb = _dot(sel, g_rgb)                                # (P, 3)
+    d_rgb_pt = w_pt * G_rgb
+    d_w_pt = jnp.sum(rgb * G_rgb, axis=1, keepdims=True)
+
+    dw = _dot_t_lhs(sel, d_w_pt * onehot) + g_depth * z + g_op
+    strict_upper = (ri_s > ci_s).astype(jnp.float32)
+    suffix = _dot(dw * w_mat, strict_upper)
+    d_alpha = dw * transparency - suffix / (one_m_alpha + 1e-10)
+    dx = d_alpha * one_m_alpha
+    d_sn = dx * deltas * (sigma_mat > 0.0).astype(jnp.float32)
+    d_sigma_pt = jnp.sum(_dot(sel, d_sn) * onehot, axis=1, keepdims=True)
+
+    p = rgb.shape[0]
+    return jnp.concatenate(
+        [d_rgb_pt, d_sigma_pt, jnp.zeros((p, OUT_COLS - 4), jnp.float32)],
+        axis=-1,
+    )
+
+
+def _make_train_loss_bwd_kernel_nerf(layers, skip, n_freq_xyz, n_freq_dir,
+                                     rgb_padding, dtype, n_total, tile_r):
+    n_w = len(_ORDER)
+
+    def kernel(rays_ref, z_ref, noise_ref, gt_ref, *refs):
+        w = {k: r[...] for k, r in zip(_ORDER, refs[:n_w])}
+        loss_ref = refs[n_w]
+        grad_refs = {k: r for k, r in zip(_ORDER, refs[n_w + 1:])}
+
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            loss_ref[...] = jnp.zeros(loss_ref.shape, loss_ref.dtype)
+            for k in _ORDER:
+                grad_refs[k][...] = jnp.zeros(
+                    grad_refs[k].shape, grad_refs[k].dtype
+                )
+
+        z = z_ref[...]
+        r_rows, s = z.shape
+        noise = noise_ref[...]
+        sel, onehot = _sample_onehot(r_rows, s)
+        xin = _expand_rays_nerf(rays_ref[...], z, sel, onehot)
+
+        # one forward recompute serves loss, compositor adjoint, and backprop
+        sv = {}
+        rgb_pt, sigma = _forward(xin, w, layers, skip, n_freq_xyz, n_freq_dir,
+                                 rgb_padding, dtype, save=sv)
+        out = _composite_tile_nerf(sel, onehot, z, rgb_pt, sigma, noise=noise)
+        rgb_ray = out[:, 0:3]
+
+        # ---- MSE loss + adjoint (masked against ray padding)
+        gi = (step * tile_r
+              + jax.lax.broadcasted_iota(jnp.int32, (r_rows, 1), 0))
+        valid = (gi < n_total).astype(jnp.float32)
+        gt = gt_ref[:, 0:3]
+        diff = rgb_ray - gt
+        sq = jnp.sum(diff * diff, axis=1, keepdims=True)
+        s_mse = jnp.sum(valid * sq)
+
+        ri8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        ci8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        loss_ref[...] += jnp.where(
+            (ri8 == 0) & (ci8 == 0), s_mse, jnp.zeros((8, 128), jnp.float32)
+        )
+
+        g_rgb = valid * diff * (2.0 / (3.0 * n_total))
+        g_ray = jnp.concatenate(
+            [g_rgb, jnp.zeros((r_rows, OUT_COLS - 3), jnp.float32)], axis=-1
+        )
+        g_pt = _composite_bwd_tile_nerf(sel, onehot, z, noise, rgb_pt, sigma,
+                                        g_ray)
+        _point_bwd_from_saves(g_pt, w, grad_refs, sv, layers, skip,
+                              rgb_padding, dtype)
+
+    return kernel
+
+
+def fused_nerf_train_loss_grads(params: dict, rays_o, rays_d, z_vals, noise,
+                                gt_rgb, *, layers: int = 8, feat: int = 256,
+                                skip: int = 4, n_freq_xyz: int = 10,
+                                n_freq_dir: int = 4,
+                                rgb_padding: float = 0.001,
+                                dtype=jnp.bfloat16):
+    """nerf-variant primary-pass loss + gradients in ONE kernel launch.
+
+    Returns (mse, param_grads): the scalar MSE loss (reference
+    metrics.py:8-19) and the flax pytree gradient for `params` (pulled back
+    through pack_params with jax.vjp — the packing is plain differentiable
+    jnp, so its transpose is XLA glue of negligible cost)."""
+    r, s = z_vals.shape
+    rays8 = jnp.concatenate(
+        [rays_o.astype(jnp.float32), rays_d.astype(jnp.float32),
+         jnp.zeros((r, IN_COLS - 6), jnp.float32)], axis=-1,
+    )
+    z = z_vals.astype(jnp.float32)
+    if noise is None:
+        noise = jnp.zeros((r, s), jnp.float32)
+    gt8 = jnp.concatenate(
+        [gt_rgb.astype(jnp.float32),
+         jnp.zeros((r, IN_COLS - 3), jnp.float32)], axis=-1,
+    )
+
+    def pack(p):
+        packed = pack_params(p, layers, feat, skip, n_freq_xyz, n_freq_dir,
+                             dtype)
+        return [packed[k] for k in _ORDER]
+
+    plist, pack_vjp = jax.vjp(pack, params)
+
+    tile_r = max(8, (BWD_TILE // s) // 8 * 8)
+    r_pad = ((r + tile_r - 1) // tile_r) * tile_r
+    if r_pad != r:
+        rays8 = jnp.pad(rays8, ((0, r_pad - r), (0, 0)))
+        z = jnp.pad(z, ((0, r_pad - r), (0, 0)), constant_values=1.0)
+        noise = jnp.pad(noise, ((0, r_pad - r), (0, 0)))
+        gt8 = jnp.pad(gt8, ((0, r_pad - r), (0, 0)))
+
+    kernel = _make_train_loss_bwd_kernel_nerf(layers, skip, n_freq_xyz,
+                                              n_freq_dir, rgb_padding, dtype,
+                                              r, tile_r)
+    w_specs = [
+        pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for p in plist
+    ]
+    grad_specs = [
+        pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for p in plist
+    ]
+    loss_acc, *grads = pl.pallas_call(
+        kernel,
+        grid=(r_pad // tile_r,),
+        in_specs=[
+            pl.BlockSpec((tile_r, IN_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_r, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_r, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_r, IN_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=(
+            pl.BlockSpec((8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            *grad_specs,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            *(jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in plist),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024
+        ),
+    )(rays8, z, noise, gt8, *plist)
+
+    mse = loss_acc[0, 0] / (3.0 * r)
+    (param_grads,) = pack_vjp([g.astype(p.dtype)
+                               for g, p in zip(grads, plist)])
+    return mse, param_grads
 
 
 def fused_nerf_apply(params: dict, xyz, view_dir, *, layers: int = 8,

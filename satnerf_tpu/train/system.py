@@ -268,8 +268,14 @@ class NeRFSystem:
         """The primary pass goes further on the same gate: loss + loss
         adjoint + compositor adjoint + field backward in ONE kernel
         (fused_train_loss_grads) — no separate forward launch. sc/depth
-        terms run as separate passes whose grads add."""
-        return self._use_fused_train_render
+        terms run as separate passes whose grads add. The nerf variant has
+        its own single-kernel step (fused_nerf_train_loss_grads, plain MSE);
+        depth-supervised nerf falls back to the standard path (its depth
+        render would need a differentiable fused nerf render)."""
+        if self._use_fused_train_render:
+            return True
+        return (self.use_fused and self.cfg.model == "nerf"
+                and self.cfg.n_importance == 0 and not self.depth)
 
     def _fused_product_render(self, params, rays, ts, key) -> dict:
         """Render per-ray products entirely on-chip (expansion + field +
@@ -468,6 +474,21 @@ class NeRFSystem:
         if noise_std is not None:
             noise = noise_std * jax.random.normal(k_noise, z_vals.shape,
                                                   jnp.float32)
+
+        if cfg.model == "nerf":
+            from satnerf_tpu.ops.pallas.fused_nerf import (
+                fused_nerf_train_loss_grads,
+            )
+
+            mse, g_coarse = fused_nerf_train_loss_grads(
+                params["coarse"], rays_o, rays_d, z_vals, noise, rgbs,
+                layers=cfg.fc_layers, feat=cfg.fc_units, skip=4,
+                dtype=self.compute_dtype,
+            )
+            metrics = {"loss": mse, "psnr": -10.0 * jnp.log10(mse),
+                       "loss_total": mse}
+            return (mse, metrics), {"coarse": g_coarse}
+
         t_embed = self._embed_ts(params, ts)
 
         sat = cfg.model == "sat-nerf"

@@ -294,3 +294,101 @@ class TestFusedLossGrads:
                 np.asarray(b) / scale, np.asarray(a) / scale, atol=1e-3,
                 err_msg=jax.tree_util.keystr(path),
             )
+
+
+class TestFusedNerfLossGrads:
+    """nerf-variant single-kernel train step (fused_nerf_train_loss_grads)
+    vs value_and_grad over the flax + XLA path."""
+
+    def test_matches_value_and_grad(self, rng, eight_devices):
+        from satnerf_tpu.config import Config
+        from satnerf_tpu.train.system import NeRFSystem
+
+        kw = dict(model="nerf", batch_size=64, fc_units=F, fc_layers=L,
+                  n_samples=8, max_train_steps=100, noise_std=1.0)
+        sys_f = NeRFSystem(Config(fused="on", **kw), dataset_len=512)
+        sys_o = NeRFSystem(Config(fused="off", **kw), dataset_len=512)
+        assert sys_f._use_fused_train_loss
+        assert not sys_o._use_fused_train_loss
+        params = sys_o.init_params(jax.random.PRNGKey(0))
+
+        n = 64
+        rays = rng.rand(n, 11).astype(np.float32)
+        rays[:, 3:6] /= np.linalg.norm(rays[:, 3:6], axis=1, keepdims=True)
+        rays[:, 6], rays[:, 7] = 0.0, 1.0
+        rays = jnp.array(rays)
+        rgbs = jnp.array(rng.rand(n, 3).astype(np.float32))
+        key = jax.random.PRNGKey(3)
+        st = jnp.zeros((), jnp.int32)
+
+        def f(p):
+            return sys_o._loss_and_metrics(p, rays, rgbs, None, key, st)
+
+        (l_o, m_o), g_o = jax.value_and_grad(f, has_aux=True)(params)
+        with pltpu.force_tpu_interpret_mode():
+            (l_f, m_f), g_f = sys_f._fused_loss_and_grads(
+                params, rays, rgbs, None, key, st)
+
+        np.testing.assert_allclose(float(l_f), float(l_o), atol=1e-4)
+        np.testing.assert_allclose(float(m_f["psnr"]), float(m_o["psnr"]),
+                                   atol=1e-2)
+        assert (jax.tree_util.tree_structure(g_o)
+                == jax.tree_util.tree_structure(g_f))
+        for (path, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(g_o),
+            jax.tree_util.tree_leaves(g_f),
+        ):
+            scale = max(float(jnp.abs(a).max()), 1e-6)
+            np.testing.assert_allclose(
+                np.asarray(b) / scale, np.asarray(a) / scale, atol=1e-3,
+                err_msg=jax.tree_util.keystr(path),
+            )
+
+    def test_ray_padding_masked(self, rng, eight_devices):
+        """Non-tile-multiple ray counts: padded rays contribute nothing."""
+        from satnerf_tpu.ops.pallas.fused_nerf import (
+            fused_nerf_train_loss_grads,
+        )
+        from satnerf_tpu.models import build_model
+
+        m = build_model("nerf", L, F)
+        params = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 3)),
+                        view_dir=jnp.zeros((2, 3)))["params"]
+        r1, r2, S = 40, 24, 8  # tile_r is a multiple of 8; 24 pads
+        rays_o = jnp.array(rng.randn(r1, 3).astype(np.float32) * 0.2)
+        rays_d = jnp.array(rng.randn(r1, 3).astype(np.float32))
+        rays_d = rays_d / jnp.linalg.norm(rays_d, axis=1, keepdims=True)
+        z = jnp.sort(jnp.array(rng.rand(r1, S).astype(np.float32)), axis=1)
+        gt = jnp.array(rng.rand(r1, 3).astype(np.float32))
+
+        def run(k):
+            with pltpu.force_tpu_interpret_mode():
+                return fused_nerf_train_loss_grads(
+                    params, rays_o[:k], rays_d[:k], z[:k], None, gt[:k],
+                    layers=L, feat=F, dtype=jnp.float32,
+                )
+
+        mse_a, g_a = run(r2)
+
+        # oracle on exactly those r2 rays via the flax path
+        from satnerf_tpu.render.composite import composite
+
+        def loss(p):
+            xyz = (rays_o[:r2, None, :]
+                   + rays_d[:r2, None, :] * z[:r2, :, None])
+            vd = jnp.broadcast_to(rays_d[:r2, None, :], xyz.shape)
+            out = m.apply({"params": p}, xyz, view_dir=vd)
+            res = composite(out, z[:r2], shadow=False)
+            return jnp.mean((res["rgb"] - gt[:r2]) ** 2)
+
+        l_o, g_o = jax.value_and_grad(loss)(params)
+        np.testing.assert_allclose(float(mse_a), float(l_o), atol=1e-4)
+        for (path, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(g_o),
+            jax.tree_util.tree_leaves(g_a),
+        ):
+            scale = max(float(jnp.abs(a).max()), 1e-6)
+            np.testing.assert_allclose(
+                np.asarray(b) / scale, np.asarray(a) / scale, atol=1e-3,
+                err_msg=jax.tree_util.keystr(path),
+            )
