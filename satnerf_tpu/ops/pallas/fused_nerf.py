@@ -36,7 +36,7 @@ from satnerf_tpu.ops.pallas.fused_mlp import (
 )
 
 TILE = 1024
-BWD_TILE = 1024
+BWD_TILE = 2048
 IN_COLS = 8
 OUT_COLS = 8
 
