@@ -1579,6 +1579,172 @@ def _make_train_loss_bwd_kernel(layers, skip, use_beta, rgb_padding, dtype,
     return kernel
 
 
+def _make_sc_loss_bwd_kernel(layers, skip, use_beta, rgb_padding, dtype, tau,
+                             lam3, n_total, tile_r):
+    """Solar-correction pass, loss-in-kernel: the sun-ray field eval, the
+    compositor forward (stop-gradient, reference metrics.py:27-34 detaches
+    transparency/weights), terms 2+3 of the S-NeRF loss, and their adjoint —
+    which flows ONLY through the sun-visibility head — in one launch."""
+
+    def kernel(rays_ref, z_ref, noise_ref, *refs):
+        names = [k for k in _PACKED_ORDER
+                 if use_beta or not k.startswith(("Wbeta", "bbeta"))]
+        n_w = len(names)
+        w = {k: r[...] for k, r in zip(names, refs[:n_w])}
+        loss_ref = refs[n_w]
+        grad_refs = {k: r for k, r in zip(names, refs[n_w + 1:])}
+
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            loss_ref[...] = jnp.zeros(loss_ref.shape, loss_ref.dtype)
+            for k in names:
+                grad_refs[k][...] = jnp.zeros(
+                    grad_refs[k].shape, grad_refs[k].dtype
+                )
+
+        z = z_ref[...]
+        r_rows, s = z.shape
+        noise = noise_ref[...]
+        xin = _expand_rays(rays_ref[...], z, tau)
+        h, trunk_save, hs = _fwd_saves(xin, w, layers, skip, use_beta,
+                                       rgb_padding, dtype)
+        sigma = jax.nn.softplus(hs["sigma_pre"][:, 0:1])
+        sunv_pt = hs["sunv"][:, 0:1]
+
+        sel, onehot = _sample_onehot(r_rows, s)
+        # compositor forward along the SUN rays (T, w carry no gradient)
+        sigma_mat = _dot_t_lhs(sel, sigma * onehot) + noise
+        ri_s = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        ci_s = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        shift_up = (ri_s == ci_s + 1).astype(jnp.float32)
+        z_next = _dot(z, shift_up)
+        si_r = jax.lax.broadcasted_iota(jnp.int32, (r_rows, s), 1)
+        deltas = jnp.where(si_r == s - 1, 1e10, z_next - z)
+        x = deltas * jax.nn.relu(sigma_mat)
+        one_m_alpha = jnp.exp(-x)
+        lt = jnp.log(one_m_alpha + 1e-10)
+        strict_lower = (ri_s < ci_s).astype(jnp.float32)
+        transparency = jnp.exp(_dot(lt, strict_lower))
+        w_mat = (1.0 - one_m_alpha) * transparency
+
+        sunv_mat = _dot_t_lhs(sel, sunv_pt * onehot)        # (R, S)
+
+        gi = (step * tile_r
+              + jax.lax.broadcasted_iota(jnp.int32, (r_rows, 1), 0))
+        valid = (gi < n_total).astype(jnp.float32)
+        diff = transparency - sunv_mat
+        t2 = jnp.sum(valid * jnp.sum(diff * diff, axis=1, keepdims=True))
+        t3 = jnp.sum(valid * (1.0 - jnp.sum(w_mat * sunv_mat, axis=1,
+                                            keepdims=True)))
+        ri8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        ci8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        zero8 = jnp.zeros((8, 128), jnp.float32)
+        loss_ref[...] += (jnp.where((ri8 == 0) & (ci8 == 0), t2, zero8)
+                          + jnp.where((ri8 == 0) & (ci8 == 1), t3, zero8))
+
+        # adjoint: d(term2)/dsunv = -2*lam3*(T - sunv)/N;
+        #          d(term3)/dsunv = -lam3*w/N — nothing else carries grad
+        g_sunv_mat = valid * (lam3 / n_total) * (-2.0 * diff - w_mat)
+        d_sunv_pt = jnp.sum(_dot(sel, g_sunv_mat) * onehot, axis=1,
+                            keepdims=True)                   # (P, 1)
+        p = d_sunv_pt.shape[0]
+        g_pt = jnp.concatenate(
+            [jnp.zeros((p, 4), jnp.float32), d_sunv_pt,
+             jnp.zeros((p, OUT_COLS - 5), jnp.float32)], axis=-1
+        )
+        _point_bwd_from_saves(xin, g_pt, w, grad_refs, h, trunk_save, hs,
+                              layers, skip, use_beta, rgb_padding, dtype)
+
+    return kernel
+
+
+def fused_sc_loss_grads(params: dict, rays_o, sun_dir, t_embed, z_vals,
+                        noise, lambda_sc: float, *, layers: int = 8,
+                        feat: int = 512, skip: int = 4, use_beta: bool = True,
+                        rgb_padding: float = 0.001, tau: int = 4,
+                        dtype=jnp.bfloat16):
+    """Secondary (sun-ray) solar-correction pass in ONE kernel launch.
+
+    Returns (parts, param_grads): parts = {"term2", "term3"} (already scaled
+    by lambda_sc/3, reference metrics.py:27-34) and the flax param-tree
+    gradient of term2 + term3. The march direction IS the sun direction
+    (rendering.py:102-108); transparency/weights are stop-gradient exactly
+    like the XLA path, so gradients flow only through the sun-v head chain.
+    t_embed gets no gradient (only the beta head consumes it, and beta has
+    no SC cotangent)."""
+    r, s = z_vals.shape
+    t_part = (t_embed.astype(jnp.float32) if (t_embed is not None and use_beta)
+              else jnp.zeros((r, tau), jnp.float32))
+    sd = sun_dir.astype(jnp.float32)
+    rays16 = jnp.concatenate(
+        [rays_o.astype(jnp.float32), sd, sd, t_part,
+         jnp.zeros((r, IN_COLS - 9 - tau), jnp.float32)], axis=-1,
+    )
+    z = z_vals.astype(jnp.float32)
+    if noise is None:
+        noise = jnp.zeros((r, s), jnp.float32)
+    packed = pack_params(params, layers, feat, skip, use_beta, tau, dtype)
+    plist = _order(packed)
+    names = [k for k in _PACKED_ORDER
+             if use_beta or not k.startswith(("Wbeta", "bbeta"))]
+
+    tile_r = max(8, (BWD_TILE // s) // 8 * 8)
+    r_pad = ((r + tile_r - 1) // tile_r) * tile_r
+    if r_pad != r:
+        rays16 = jnp.pad(rays16, ((0, r_pad - r), (0, 0)))
+        z = jnp.pad(z, ((0, r_pad - r), (0, 0)), constant_values=1.0)
+        noise = jnp.pad(noise, ((0, r_pad - r), (0, 0)))
+
+    kernel = _make_sc_loss_bwd_kernel(layers, skip, use_beta, rgb_padding,
+                                      dtype, tau, lambda_sc / 3.0, r, tile_r)
+    w_specs = [
+        pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for p in plist
+    ]
+    grad_specs = [
+        pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for p in plist
+    ]
+    loss_acc, *grads = pl.pallas_call(
+        kernel,
+        grid=(r_pad // tile_r,),
+        in_specs=[
+            pl.BlockSpec((tile_r, IN_COLS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_r, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_r, s), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=(
+            pl.BlockSpec((8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            *grad_specs,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            *(jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in plist),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024
+        ),
+    )(rays16, z, noise, *plist)
+
+    lam3 = lambda_sc / 3.0
+    parts = {
+        "term2": lam3 * loss_acc[0, 0] / r,
+        "term3": lam3 * loss_acc[0, 1] / r,
+    }
+    g_named = dict(zip(names, grads))
+    param_grads = unpack_grads(g_named, params, layers, feat, skip, use_beta)
+    return parts, param_grads
+
+
 def fused_train_loss_grads(params: dict, rays_o, rays_d, sun_dir, t_embed,
                            z_vals, noise, gt_rgb, use_beta_w, *,
                            layers: int = 8, feat: int = 512, skip: int = 4,

@@ -518,44 +518,47 @@ class NeRFSystem:
         metrics = {}
         need_sc = rcfg.solar_correction and sun_d is not None
         need_depth = self.depth and d_rays is not None
-        if need_sc or need_depth:
-            def aux_fn(p):
-                aux_in_main = jnp.zeros((), jnp.float32)  # sc: part of "loss"
-                aux_extra = jnp.zeros((), jnp.float32)    # depth: added after
-                m = {}
-                if need_sc:
-                    from satnerf_tpu.render.render import _run_field
-                    t_e = self._embed_ts(p, ts)
-                    sc = _run_field(self.field_fns["coarse"], p["coarse"],
-                                    rays_o, sun_d, None, sun_d, t_e, z_vals,
-                                    k_sc, noise_std, shadow=True)
-                    res = {"weights_sc_coarse": sc["weights"],
-                           "transparency_sc_coarse": sc["transparency"],
-                           "sun_sc_coarse": sc["sun"]}
-                    t2, t3 = L.solar_correction_terms(res, "coarse",
-                                                      cfg.sc_lambda)
-                    aux_in_main = aux_in_main + t2 + t3
-                if need_depth:
-                    d_res = self._fused_train_render(p, d_rays, d_ts,
-                                                     k_depth, noise_std)
-                    kp_d = d_targets[:, 0]
-                    kp_w = 1.0 if cfg.ds_noweights else d_targets[:, 1]
-                    ld, _ = L.depth_loss(d_res, kp_d, kp_w, cfg.ds_lambda)
-                    active = (step < self.ds_drop_step).astype(jnp.float32)
-                    aux_extra = aux_extra + active * ld
-                    m["loss_depth"] = ld
-                return aux_in_main + aux_extra, (aux_in_main, m)
+        if need_sc:
+            # secondary sun-ray pass, also loss-in-kernel: terms 2+3 and
+            # their adjoint (which flows only through the sun-v head — the
+            # reference detaches transparency/weights, metrics.py:29-30)
+            # come out of one launch (fused_sc_loss_grads)
+            from satnerf_tpu.ops.pallas.fused_mlp import fused_sc_loss_grads
 
-            (aux_total, (sc_part, aux_m)), aux_grads = jax.value_and_grad(
+            noise_sc = None
+            if noise_std is not None:
+                noise_sc = noise_std * jax.random.normal(k_sc, z_vals.shape,
+                                                         jnp.float32)
+            sc_parts, g_sc = fused_sc_loss_grads(
+                params["coarse"], rays_o, sun_d, t_embed, z_vals, noise_sc,
+                cfg.sc_lambda, layers=cfg.fc_layers, feat=cfg.fc_units,
+                skip=4, use_beta=sat, tau=cfg.t_embbeding_tau,
+                dtype=self.compute_dtype,
+            )
+            sc_part = sc_parts["term2"] + sc_parts["term3"]
+            loss = loss + sc_part
+            grads["coarse"] = jax.tree_util.tree_map(
+                lambda a, b: a + b, grads["coarse"], g_sc
+            )
+        metrics["loss"] = loss  # main loss incl. sc, pre-depth
+
+        if need_depth:
+            def aux_fn(p):
+                d_res = self._fused_train_render(p, d_rays, d_ts, k_depth,
+                                                 noise_std)
+                kp_d = d_targets[:, 0]
+                kp_w = 1.0 if cfg.ds_noweights else d_targets[:, 1]
+                ld, _ = L.depth_loss(d_res, kp_d, kp_w, cfg.ds_lambda)
+                active = (step < self.ds_drop_step).astype(jnp.float32)
+                return active * ld, ld
+
+            (aux_total, ld), aux_grads = jax.value_and_grad(
                 aux_fn, has_aux=True
             )(params)
-            metrics.update(aux_m)
-            metrics["loss"] = loss + sc_part  # main loss incl. sc, pre-depth
+            metrics["loss_depth"] = ld
             loss = loss + aux_total
             grads = jax.tree_util.tree_map(lambda a, b: a + b, grads,
                                            aux_grads)
-        else:
-            metrics["loss"] = loss
 
         metrics["psnr"] = -10.0 * jnp.log10(parts["mse"])
         metrics["loss_total"] = loss

@@ -54,8 +54,9 @@ def flops_per_ray(model: str = "sat-nerf", layers: int = 8, feat: int = 512,
                    backward design would be 4x.
 
     sc=True (training only): the solar-correction pass evaluates the field
-    once more along the SUN ray (rendering.py:102-108) under value_and_grad —
-    one forward launch + the recompute backward = 4x forward on S points.
+    once more along the SUN ray (rendering.py:102-108). Since r2 it is also
+    loss-in-kernel (fused_sc_loss_grads: recompute + backward in one
+    launch) = 3x forward on S points, like the primary pass.
 
     n_importance>0: hierarchical sampling adds a fine-model pass over the
     sorted union of samples (rendering.py:118-156) — S coarse points plus
@@ -66,7 +67,7 @@ def flops_per_ray(model: str = "sat-nerf", layers: int = 8, feat: int = 512,
     mult = 1.0 if mode == "render" else 3.0
     flops = mult * per_pt * pts
     if sc and mode == "train":
-        flops += 4.0 * per_pt * n_samples
+        flops += 3.0 * per_pt * n_samples
     return flops
 
 
