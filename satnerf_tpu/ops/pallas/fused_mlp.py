@@ -52,6 +52,15 @@ RAY_FWD_TILE = int(_os.environ.get("SATNERF_RAY_TILE", 1024))
 BWD_TILE = 2048   # backward tile: deeper K for the weight-grad matmuls
                   # (4096 overflows VMEM even with compute-dtype residuals —
                   # the working set of live d_h/d_pre tensors dominates)
+
+
+def _bwd_points(dtype) -> int:
+    """Backward tile in POINTS, dtype-aware: the scoped-VMEM working set
+    (weights + grad accumulators + live d_h/d_pre tensors) scales with the
+    element size — 2048 points fit at bf16 (~70 MB) but overflow the 128 MB
+    VMEM at f32 (~140 MB, measured compile failure at 8x512). f32 runs get
+    half the tile."""
+    return BWD_TILE // 2 if dtype == jnp.float32 else BWD_TILE
 IN_COLS = 16
 OUT_COLS = 16
 
@@ -696,11 +705,12 @@ def _fwd(packed_list, x_in, layers, skip, use_beta, rgb_padding, dtype, feat):
 def _bwd(layers, skip, use_beta, rgb_padding, dtype, feat, residuals, g):
     packed_list, x_in = residuals
     n = x_in.shape[0]
-    n_pad = ((n + BWD_TILE - 1) // BWD_TILE) * BWD_TILE
+    bt = _bwd_points(dtype)
+    n_pad = ((n + bt - 1) // bt) * bt
     if n_pad != n:
         x_in = jnp.pad(x_in, ((0, n_pad - n), (0, 0)))
         g = jnp.pad(g, ((0, n_pad - n), (0, 0)))
-    grid = n_pad // BWD_TILE
+    grid = n_pad // bt
 
     kernel = _make_bwd_kernel(layers, skip, use_beta, rgb_padding, dtype)
     w_specs = [
@@ -721,14 +731,14 @@ def _bwd(layers, skip, use_beta, rgb_padding, dtype, feat, residuals, g):
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((BWD_TILE, IN_COLS), lambda i: (i, 0),
+            pl.BlockSpec((bt, IN_COLS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BWD_TILE, OUT_COLS), lambda i: (i, 0),
+            pl.BlockSpec((bt, OUT_COLS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             *w_specs,
         ],
         out_specs=(
-            pl.BlockSpec((BWD_TILE, IN_COLS), lambda i: (i, 0),
+            pl.BlockSpec((bt, IN_COLS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             *grad_specs,
         ),
@@ -851,7 +861,7 @@ def _rays_vjp_bwd(layers, skip, use_beta, rgb_padding, dtype, tau, residuals,
                   g):
     packed_list, rays16, z = residuals
     r, s = z.shape
-    tile_r = max(8, (BWD_TILE // s) // 8 * 8)
+    tile_r = max(8, (_bwd_points(dtype) // s) // 8 * 8)
     r_pad = ((r + tile_r - 1) // tile_r) * tile_r
     if r_pad != r:
         rays16 = jnp.pad(rays16, ((0, r_pad - r), (0, 0)))
@@ -1364,7 +1374,7 @@ def _train_render_vjp_bwd(layers, skip, use_beta, rgb_padding, dtype, tau,
                           residuals, g):
     packed_list, rays16, z, noise = residuals
     r, s = z.shape
-    tile_r = max(8, (BWD_TILE // s) // 8 * 8)
+    tile_r = max(8, (_bwd_points(dtype) // s) // 8 * 8)
     r_pad = ((r + tile_r - 1) // tile_r) * tile_r
     zp, noisep = z, noise
     if r_pad != r:
@@ -1487,7 +1497,8 @@ def fused_train_render_rays(params: dict, rays_o, rays_d, sun_dir, t_embed,
 
 
 def _make_train_loss_bwd_kernel(layers, skip, use_beta, rgb_padding, dtype,
-                                tau, beta_min, n_total, tile_r):
+                                tau, beta_min, n_total, tile_r,
+                                weights_out=False):
     def kernel(scal_ref, rays_ref, z_ref, noise_ref, gt_ref, *refs):
         names = [k for k in _PACKED_ORDER
                  if use_beta or not k.startswith(("Wbeta", "bbeta"))]
@@ -1495,7 +1506,9 @@ def _make_train_loss_bwd_kernel(layers, skip, use_beta, rgb_padding, dtype,
         w = {k: r[...] for k, r in zip(names, refs[:n_w])}
         loss_ref = refs[n_w]
         din_ref = refs[n_w + 1]
-        grad_refs = {k: r for k, r in zip(names, refs[n_w + 2:])}
+        w_off = 3 if weights_out else 2
+        weights_ref = refs[n_w + 2] if weights_out else None
+        grad_refs = {k: r for k, r in zip(names, refs[n_w + w_off:])}
 
         step = pl.program_id(0)
 
@@ -1524,7 +1537,13 @@ def _make_train_loss_bwd_kernel(layers, skip, use_beta, rgb_padding, dtype,
 
         sel, onehot = _sample_onehot(r_rows, s)
         out = _composite_tile(sel, onehot, z, rgb_pt, sigma, sunv, sky,
-                              beta_pt, use_beta, noise=noise)
+                              beta_pt, use_beta, noise=noise,
+                              weights_out=weights_out)
+        if weights_out:
+            # per-sample compositing weights for hierarchical sampling
+            # (sample_pdf, rendering.py:118-125) — stop-gradient data
+            out, w_samp = out
+            weights_ref[...] = w_samp
         rgb_ray = out[:, 0:3]  # clipped, like the XLA path's rgb_coarse
 
         # ---- loss + adjoint (masked against ray padding)
@@ -1690,7 +1709,7 @@ def fused_sc_loss_grads(params: dict, rays_o, sun_dir, t_embed, z_vals,
     names = [k for k in _PACKED_ORDER
              if use_beta or not k.startswith(("Wbeta", "bbeta"))]
 
-    tile_r = max(8, (BWD_TILE // s) // 8 * 8)
+    tile_r = max(8, (_bwd_points(dtype) // s) // 8 * 8)
     r_pad = ((r + tile_r - 1) // tile_r) * tile_r
     if r_pad != r:
         rays16 = jnp.pad(rays16, ((0, r_pad - r), (0, 0)))
@@ -1750,7 +1769,7 @@ def fused_train_loss_grads(params: dict, rays_o, rays_d, sun_dir, t_embed,
                            layers: int = 8, feat: int = 512, skip: int = 4,
                            use_beta: bool = True, rgb_padding: float = 0.001,
                            beta_min: float = 0.05, tau: int = 4,
-                           dtype=jnp.bfloat16):
+                           dtype=jnp.bfloat16, return_weights: bool = False):
     """Primary-pass loss + gradients in ONE kernel launch.
 
     Returns (parts, param_grads, t_grad):
@@ -1761,6 +1780,11 @@ def fused_train_loss_grads(params: dict, rays_o, rays_d, sun_dir, t_embed,
       t_grad: (R, tau) per-ray t-embedding gradient (scatter-add to the
              embedding table by ray image id outside).
     `use_beta_w` is the traced warm-up mix; ignored when use_beta=False.
+
+    return_weights=True appends a 4th return: the (R, S) per-sample
+    compositing weights (stop-gradient data) the coarse pass of a
+    hierarchical (n_importance > 0) train step feeds to sample_pdf
+    (rendering.py:118-125) to place the fine model's samples.
     """
     r, s = z_vals.shape
     t_part = (t_embed.astype(jnp.float32) if (t_embed is not None and use_beta)
@@ -1783,7 +1807,7 @@ def fused_train_loss_grads(params: dict, rays_o, rays_d, sun_dir, t_embed,
     names = [k for k in _PACKED_ORDER
              if use_beta or not k.startswith(("Wbeta", "bbeta"))]
 
-    tile_r = max(8, (BWD_TILE // s) // 8 * 8)
+    tile_r = max(8, (_bwd_points(dtype) // s) // 8 * 8)
     r_pad = ((r + tile_r - 1) // tile_r) * tile_r
     if r_pad != r:
         rays16 = jnp.pad(rays16, ((0, r_pad - r), (0, 0)))
@@ -1793,7 +1817,8 @@ def fused_train_loss_grads(params: dict, rays_o, rays_d, sun_dir, t_embed,
     scal = jnp.reshape(jnp.asarray(use_beta_w, jnp.float32), (1, 1))
 
     kernel = _make_train_loss_bwd_kernel(layers, skip, use_beta, rgb_padding,
-                                         dtype, tau, beta_min, r, tile_r)
+                                         dtype, tau, beta_min, r, tile_r,
+                                         weights_out=return_weights)
     w_specs = [
         pl.BlockSpec(p.shape, lambda i, nd=p.ndim: (0,) * nd,
                      memory_space=pltpu.VMEM)
@@ -1804,7 +1829,13 @@ def fused_train_loss_grads(params: dict, rays_o, rays_d, sun_dir, t_embed,
                      memory_space=pltpu.VMEM)
         for p in plist
     ]
-    loss_acc, din, *grads = pl.pallas_call(
+    weight_specs = ()
+    weight_shapes = ()
+    if return_weights:
+        weight_specs = (pl.BlockSpec((tile_r, s), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM),)
+        weight_shapes = (jax.ShapeDtypeStruct((r_pad, s), jnp.float32),)
+    loss_acc, din, *rest = pl.pallas_call(
         kernel,
         grid=(r_pad // tile_r,),
         in_specs=[
@@ -1825,11 +1856,13 @@ def fused_train_loss_grads(params: dict, rays_o, rays_d, sun_dir, t_embed,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_r, IN_COLS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            *weight_specs,
             *grad_specs,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
             jax.ShapeDtypeStruct((r_pad, IN_COLS), jnp.float32),
+            *weight_shapes,
             *(jax.ShapeDtypeStruct(p.shape, jnp.float32)
               for p in plist),
         ),
@@ -1837,6 +1870,10 @@ def fused_train_loss_grads(params: dict, rays_o, rays_d, sun_dir, t_embed,
             vmem_limit_bytes=127 * 1024 * 1024
         ),
     )(scal, rays16, z, noise, gt16, *plist)
+    if return_weights:
+        weights, grads = rest[0][:r], rest[1:]
+    else:
+        weights, grads = None, rest
 
     parts = {
         "color_sat": loss_acc[0, 0] / (3.0 * r),
@@ -1846,4 +1883,6 @@ def fused_train_loss_grads(params: dict, rays_o, rays_d, sun_dir, t_embed,
     g_named = dict(zip(names, grads))
     param_grads = unpack_grads(g_named, params, layers, feat, skip, use_beta)
     t_grad = din[:r, 9:9 + tau]
+    if return_weights:
+        return parts, param_grads, t_grad, jax.lax.stop_gradient(weights)
     return parts, param_grads, t_grad

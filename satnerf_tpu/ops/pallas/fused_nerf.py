@@ -37,6 +37,15 @@ from satnerf_tpu.ops.pallas.fused_mlp import (
 
 TILE = 1024
 BWD_TILE = 2048
+
+
+def _bwd_points(dtype):
+    """Backward tile in POINTS, dtype-aware (see fused_mlp._bwd_points):
+    the f32 working set is 2x bf16 and overflows the 128 MB VMEM at the
+    full 2048-point tile."""
+    import jax.numpy as _jnp
+
+    return BWD_TILE // 2 if dtype == _jnp.float32 else BWD_TILE
 IN_COLS = 8
 OUT_COLS = 8
 
@@ -322,7 +331,8 @@ def _vjp_bwd(layers, skip, n_freq_xyz, n_freq_dir, rgb_padding, dtype,
              residuals, g):
     packed_list, x_in = residuals
     n = x_in.shape[0]
-    n_pad = ((n + BWD_TILE - 1) // BWD_TILE) * BWD_TILE
+    bt = _bwd_points(dtype)
+    n_pad = ((n + bt - 1) // bt) * bt
     if n_pad != n:
         x_in = jnp.pad(x_in, ((0, n_pad - n), (0, 0)))
         g = jnp.pad(g, ((0, n_pad - n), (0, 0)))
@@ -340,11 +350,11 @@ def _vjp_bwd(layers, skip, n_freq_xyz, n_freq_dir, rgb_padding, dtype,
     ]
     grads = pl.pallas_call(
         kernel,
-        grid=(n_pad // BWD_TILE,),
+        grid=(n_pad // bt,),
         in_specs=[
-            pl.BlockSpec((BWD_TILE, IN_COLS), lambda i: (i, 0),
+            pl.BlockSpec((bt, IN_COLS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BWD_TILE, OUT_COLS), lambda i: (i, 0),
+            pl.BlockSpec((bt, OUT_COLS), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             *w_specs,
         ],
@@ -672,7 +682,7 @@ def fused_nerf_train_loss_grads(params: dict, rays_o, rays_d, z_vals, noise,
 
     plist, pack_vjp = jax.vjp(pack, params)
 
-    tile_r = max(8, (BWD_TILE // s) // 8 * 8)
+    tile_r = max(8, (_bwd_points(dtype) // s) // 8 * 8)
     r_pad = ((r + tile_r - 1) // tile_r) * tile_r
     if r_pad != r:
         rays8 = jnp.pad(rays8, ((0, r_pad - r), (0, 0)))

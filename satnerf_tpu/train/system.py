@@ -268,11 +268,15 @@ class NeRFSystem:
         """The primary pass goes further on the same gate: loss + loss
         adjoint + compositor adjoint + field backward in ONE kernel
         (fused_train_loss_grads) — no separate forward launch. sc/depth
-        terms run as separate passes whose grads add. The nerf variant has
-        its own single-kernel step (fused_nerf_train_loss_grads, plain MSE);
-        depth-supervised nerf falls back to the standard path (its depth
-        render would need a differentiable fused nerf render)."""
-        if self._use_fused_train_render:
+        terms run as separate passes whose grads add. Hierarchical training
+        (n_importance > 0) runs as a two-launch dispatch: coarse kernel
+        (per-sample weights out) -> sample_pdf -> fine kernel over the
+        sorted sample union, mirroring the serving dispatch
+        (rendering.py:118-156). The nerf variant has its own single-kernel
+        step (fused_nerf_train_loss_grads, plain MSE); depth-supervised
+        nerf falls back to the standard path (its depth render would need
+        a differentiable fused nerf render)."""
+        if self.fused_mode == "rays":
             return True
         return (self.use_fused and self.cfg.model == "nerf"
                 and self.cfg.n_importance == 0 and not self.depth)
@@ -463,7 +467,10 @@ class NeRFSystem:
         cfg = self.cfg
         rcfg = self.render_cfg
         k_render, k_depth = jax.random.split(key)
-        k_z, k_noise, _, _, k_sc, _ = jax.random.split(k_render, 6)
+        # same 6-way split as render_rays so fused and XLA paths draw
+        # identical z/noise/pdf randomness from the same key
+        (k_z, k_noise, k_pdf, k_fine_noise,
+         k_sc1, k_sc2) = jax.random.split(k_render, 6)
         noise_std = self._noise_std(step)
         rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
         near, far = rays[:, 6:7], rays[:, 7:8]
@@ -498,18 +505,55 @@ class NeRFSystem:
         else:
             wmix = jnp.zeros((), jnp.float32)
 
-        parts, g_coarse, d_t = fused_train_loss_grads(
+        def mix(p):
+            if sat:
+                return (wmix * (p["color_sat"] + p["logbeta"])
+                        + (1.0 - wmix) * p["mse"])
+            return p["mse"]
+
+        n_imp = cfg.n_importance
+        kernel_kw = dict(layers=cfg.fc_layers, feat=cfg.fc_units, skip=4,
+                         use_beta=sat, tau=cfg.t_embbeding_tau,
+                         dtype=self.compute_dtype)
+        res_c = fused_train_loss_grads(
             params["coarse"], rays_o, rays_d, sun_d, t_embed, z_vals, noise,
-            rgbs, wmix, layers=cfg.fc_layers, feat=cfg.fc_units, skip=4,
-            use_beta=sat, beta_min=BETA_MIN, tau=cfg.t_embbeding_tau,
-            dtype=self.compute_dtype,
+            rgbs, wmix, beta_min=BETA_MIN,
+            return_weights=(n_imp > 0), **kernel_kw,
         )
-        if sat:
-            loss = (wmix * (parts["color_sat"] + parts["logbeta"])
-                    + (1.0 - wmix) * parts["mse"])
+        if n_imp > 0:
+            parts, g_coarse, d_t, w_coarse = res_c
         else:
-            loss = parts["mse"]
+            parts, g_coarse, d_t = res_c
+        loss = mix(parts)
         grads = {"coarse": g_coarse}
+        mse_for_psnr = parts["mse"]
+
+        z_all = None
+        if n_imp > 0:
+            # hierarchical training as a two-launch dispatch: sample_pdf over
+            # the (stop-gradient) coarse weights, then the same single-kernel
+            # loss+grads over the sorted union with the fine model
+            # (rendering.py:118-156; the reference detaches the resampled z)
+            from satnerf_tpu.render.sampling import sample_pdf
+
+            z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+            z_fine = sample_pdf(k_pdf, z_mid, w_coarse[:, 1:-1], n_imp,
+                                det=(rcfg.perturb == 0))
+            z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1),
+                             axis=-1)
+            noise_fine = None
+            if noise_std is not None:
+                noise_fine = noise_std * jax.random.normal(
+                    k_fine_noise, z_all.shape, jnp.float32)
+            parts_f, g_fine, d_t_f = fused_train_loss_grads(
+                params["fine"], rays_o, rays_d, sun_d, t_embed, z_all,
+                noise_fine, rgbs, wmix, beta_min=BETA_MIN, **kernel_kw,
+            )
+            loss = loss + mix(parts_f)
+            grads["fine"] = g_fine
+            d_t = d_t + d_t_f
+            mse_for_psnr = parts_f["mse"]
+
         if self.use_ts:
             grads["t"] = {"embedding": jax.ops.segment_sum(
                 d_t, ts, num_segments=cfg.t_embbeding_vocab
@@ -522,30 +566,37 @@ class NeRFSystem:
             # secondary sun-ray pass, also loss-in-kernel: terms 2+3 and
             # their adjoint (which flows only through the sun-v head — the
             # reference detaches transparency/weights, metrics.py:29-30)
-            # come out of one launch (fused_sc_loss_grads)
+            # come out of one launch (fused_sc_loss_grads) per model
             from satnerf_tpu.ops.pallas.fused_mlp import fused_sc_loss_grads
 
-            noise_sc = None
-            if noise_std is not None:
-                noise_sc = noise_std * jax.random.normal(k_sc, z_vals.shape,
-                                                         jnp.float32)
-            sc_parts, g_sc = fused_sc_loss_grads(
-                params["coarse"], rays_o, sun_d, t_embed, z_vals, noise_sc,
-                cfg.sc_lambda, layers=cfg.fc_layers, feat=cfg.fc_units,
-                skip=4, use_beta=sat, tau=cfg.t_embbeding_tau,
-                dtype=self.compute_dtype,
-            )
-            sc_part = sc_parts["term2"] + sc_parts["term3"]
-            loss = loss + sc_part
-            grads["coarse"] = jax.tree_util.tree_map(
-                lambda a, b: a + b, grads["coarse"], g_sc
-            )
+            sc_passes = [("coarse", z_vals, k_sc1)]
+            if n_imp > 0:
+                sc_passes.append(("fine", z_all, k_sc2))
+            for name, z_pass, k_sc in sc_passes:
+                noise_sc = None
+                if noise_std is not None:
+                    noise_sc = noise_std * jax.random.normal(
+                        k_sc, z_pass.shape, jnp.float32)
+                sc_parts, g_sc = fused_sc_loss_grads(
+                    params[name], rays_o, sun_d, t_embed, z_pass, noise_sc,
+                    cfg.sc_lambda, **kernel_kw,
+                )
+                loss = loss + sc_parts["term2"] + sc_parts["term3"]
+                grads[name] = jax.tree_util.tree_map(
+                    lambda a, b: a + b, grads[name], g_sc
+                )
         metrics["loss"] = loss  # main loss incl. sc, pre-depth
 
         if need_depth:
             def aux_fn(p):
-                d_res = self._fused_train_render(p, d_rays, d_ts, k_depth,
-                                                 noise_std)
+                if self._use_fused_train_render:
+                    d_res = self._fused_train_render(p, d_rays, d_ts, k_depth,
+                                                     noise_std)
+                else:
+                    # hierarchical depth pass: the differentiable XLA render
+                    # (over the ray-mode field kernel) handles coarse + fine
+                    d_res = self.render(p, d_rays, d_ts, k_depth, train=True,
+                                        noise_std=noise_std)
                 kp_d = d_targets[:, 0]
                 kp_w = 1.0 if cfg.ds_noweights else d_targets[:, 1]
                 ld, _ = L.depth_loss(d_res, kp_d, kp_w, cfg.ds_lambda)
@@ -560,7 +611,7 @@ class NeRFSystem:
             grads = jax.tree_util.tree_map(lambda a, b: a + b, grads,
                                            aux_grads)
 
-        metrics["psnr"] = -10.0 * jnp.log10(parts["mse"])
+        metrics["psnr"] = -10.0 * jnp.log10(mse_for_psnr)
         metrics["loss_total"] = loss
         return (loss, metrics), grads
 
@@ -786,14 +837,27 @@ class NeRFSystem:
                 if pad:
                     t = jnp.pad(t, ((0, pad),))
             pending.append((render_chunk(params, r, t, key), pad))
-        outs = []
-        for res, pad in pending:
+
+        def fetch(item):
+            res, pad = item
             res = jax.device_get(res)
             if pad:
                 res = {k: v[: chunk - pad] for k, v in res.items()}
             # upcast wire-compressed products so downstream eval code
             # (GeoTIFF dumps, metrics) always sees float32
-            res = {k: (v.astype(np.float32) if v.dtype == np.float16 else v)
-                   for k, v in res.items()}
-            outs.append(res)
+            return {k: (v.astype(np.float32) if v.dtype == np.float16 else v)
+                    for k, v in res.items()}
+
+        if len(pending) > 1:
+            # fetch on a small thread pool: each device_get pays a tunnel
+            # RTT plus the wire transfer, and serializing them leaves the
+            # link idle between chunks while later chunks keep computing.
+            # Concurrent fetches overlap the RTTs (and let the runtime
+            # stream transfers back-to-back); ex.map preserves chunk order.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(4, len(pending))) as ex:
+                outs = list(ex.map(fetch, pending))
+        else:
+            outs = [fetch(p) for p in pending]
         return {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}

@@ -67,7 +67,9 @@ def flops_per_ray(model: str = "sat-nerf", layers: int = 8, feat: int = 512,
     mult = 1.0 if mode == "render" else 3.0
     flops = mult * per_pt * pts
     if sc and mode == "train":
-        flops += 3.0 * per_pt * n_samples
+        # one sun pass per model over that model's samples: S coarse
+        # (+ S + n_importance fine when hierarchical) = pts points total
+        flops += 3.0 * per_pt * pts
     return flops
 
 

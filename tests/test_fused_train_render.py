@@ -256,6 +256,68 @@ class TestFusedLossGrads:
                     err_msg=f"step {step}: {jax.tree_util.keystr(path)}",
                 )
 
+    @pytest.mark.parametrize("variant", ["sat-nerf", "s-nerf"])
+    def test_hierarchical_matches_value_and_grad(self, rng, eight_devices,
+                                                 variant):
+        """n_importance > 0: the two-launch fused dispatch (coarse kernel
+        with weights out -> sample_pdf -> fine kernel over the sorted union,
+        plus per-model sc passes) vs value_and_grad over the XLA coarse+fine
+        path (rendering.py:118-156 semantics). Tolerances are slightly wider
+        than the coarse-only test: kernel-vs-XLA f32 rounding in the coarse
+        weights shifts sample_pdf's resampled depths by ~1e-6, which the
+        SIREN field amplifies."""
+        from satnerf_tpu.config import Config
+        from satnerf_tpu.train.system import NeRFSystem
+
+        kw = dict(model=variant, batch_size=64, fc_units=F, fc_layers=L,
+                  n_samples=8, n_importance=4, max_train_steps=100,
+                  sc_lambda=0.05, ds_lambda=100.0, noise_std=1.0)
+        sys_f = NeRFSystem(Config(fused="rays", **kw), dataset_len=512)
+        sys_o = NeRFSystem(Config(fused="off", **kw), dataset_len=512)
+        assert sys_f._use_fused_train_loss
+        assert not sys_f._use_fused_train_render  # render path stays 2-launch
+        params = sys_o.init_params(jax.random.PRNGKey(0))
+        assert "fine" in params
+
+        n = 64
+        rays = rng.rand(n, 11).astype(np.float32)
+        rays[:, 3:6] /= np.linalg.norm(rays[:, 3:6], axis=1, keepdims=True)
+        rays[:, 6], rays[:, 7] = 0.0, 1.0
+        rays = jnp.array(rays)
+        rgbs = jnp.array(rng.rand(n, 3).astype(np.float32))
+        ts = jnp.array(rng.randint(0, 5, n).astype(np.int32))
+        d_targets = jnp.array(rng.rand(16, 2).astype(np.float32))
+        d_rays, d_ts = rays[:16], ts[:16]
+        key = jax.random.PRNGKey(3)
+
+        for step in (0, 50):
+            st = jnp.asarray(step, jnp.int32)
+
+            def f(p):
+                return sys_o._loss_and_metrics(p, rays, rgbs, ts, key, st,
+                                               d_rays, d_targets, d_ts)
+
+            (l_o, m_o), g_o = jax.value_and_grad(f, has_aux=True)(params)
+            with pltpu.force_tpu_interpret_mode():
+                (l_f, m_f), g_f = sys_f._fused_loss_and_grads(
+                    params, rays, rgbs, ts, key, st, d_rays, d_targets, d_ts)
+
+            np.testing.assert_allclose(float(l_f), float(l_o), atol=5e-4)
+            for mk in ("loss", "psnr", "loss_depth", "loss_total"):
+                np.testing.assert_allclose(float(m_f[mk]), float(m_o[mk]),
+                                           atol=5e-3, err_msg=mk)
+            assert (jax.tree_util.tree_structure(g_o)
+                    == jax.tree_util.tree_structure(g_f))
+            for (path, a), b in zip(
+                jax.tree_util.tree_leaves_with_path(g_o),
+                jax.tree_util.tree_leaves(g_f),
+            ):
+                scale = max(float(jnp.abs(a).max()), 1e-6)
+                np.testing.assert_allclose(
+                    np.asarray(b) / scale, np.asarray(a) / scale, atol=3e-3,
+                    err_msg=f"step {step}: {jax.tree_util.keystr(path)}",
+                )
+
     def test_ray_padding_masked(self, rng, eight_devices):
         """A ray count that is not a tile multiple: padded rays must
         contribute nothing to loss or grads."""
