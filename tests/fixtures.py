@@ -44,26 +44,49 @@ def height_field(lon, lat):
     return np.where(box, 50.0, 10.0)
 
 
-def albedo_field(lon, lat):
+def smooth_height_field(lon, lat):
+    """Continuous terrain (two hills + a ridge on a 10 m plane): unlike the
+    box scene there are no depth discontinuities, so a converged model can
+    reach sub-meter DSM MAE — the geometry REGRESSION anchor scene
+    (quality protocol in docs/DESIGN.md)."""
     u = (lon - AOI_LON) / 0.002
     v = (lat - AOI_LAT) / 0.002
-    checker = ((np.floor(u * 4) + np.floor(v * 4)) % 2).astype(np.float64)
-    return 0.3 + 0.5 * checker
+    z = 10.0 + 35.0 * np.exp(-((u - 0.25) ** 2 + (v - 0.2) ** 2)
+                             / (2 * 0.18 ** 2))
+    z = z + 25.0 * np.exp(-((u + 0.35) ** 2 + (v + 0.3) ** 2)
+                          / (2 * 0.25 ** 2))
+    return z + 12.0 * np.exp(-((u + v) ** 2) / (2 * 0.3 ** 2))
+
+
+HEIGHT_FIELDS = {"box": height_field, "smooth": smooth_height_field}
+
+
+def albedo_field(lon, lat, checker: int = 4):
+    u = (lon - AOI_LON) / 0.002
+    v = (lat - AOI_LAT) / 0.002
+    ck = ((np.floor(u * checker) + np.floor(v * checker)) % 2)
+    return 0.3 + 0.5 * ck.astype(np.float64)
 
 
 def build_synthetic_dataset(root: str, n_train: int = 3, n_test: int = 2,
                             w: int = 32, h: int = 32, seed: int = 0,
                             with_keypoints: bool = False, n_kp: int = 40,
-                            view_spread: float = 0.05):
+                            view_spread: float = 0.05,
+                            terrain: str = "box", checker: int = 4):
     """Write a reference-format dataset: per-image json + tif + splits.
 
     with_keypoints adds bundle-adjustment-style depth supervision data:
     pts3d.npy (ECEF tie points ON the true surface) and per-image
     keypoints {2d_coordinates, pts3d_indices}, like the reference's BA output
     (create_satellite_dataset.py:125-136).
+
+    terrain selects the scene geometry (HEIGHT_FIELDS): "box" (default,
+    depth-discontinuous) or "smooth" (the geometry-anchor terrain);
+    checker sets the albedo checker frequency.
     """
     from satnerf_tpu.geo.ellipsoid import ecef_from_latlon
 
+    hf = HEIGHT_FIELDS[terrain]
     os.makedirs(root, exist_ok=True)
     rng = np.random.RandomState(seed)
     names = []
@@ -73,7 +96,7 @@ def build_synthetic_dataset(root: str, n_train: int = 3, n_test: int = 2,
     if with_keypoints:
         tie_lons = rng.uniform(AOI_LON - 0.0015, AOI_LON + 0.0015, n_kp)
         tie_lats = rng.uniform(AOI_LAT - 0.0015, AOI_LAT + 0.0015, n_kp)
-        tie_alts = height_field(tie_lons, tie_lats)
+        tie_alts = hf(tie_lons, tie_lats)
         pts3d = np.stack(ecef_from_latlon(tie_lats, tie_lons, tie_alts), -1)
         np.save(os.path.join(root, "pts3d.npy"), pts3d)
 
@@ -85,20 +108,34 @@ def build_synthetic_dataset(root: str, n_train: int = 3, n_test: int = 2,
                                       (ALT_MIN, ALT_MAX), w, h)
 
         # render a consistent image: for each pixel march altitudes downward
+        # to bracket the surface crossing, then BISECT to the exact hit.
+        # (The pre-r3 renderer stopped at the marched level — a 0.84 m
+        # altitude quantization that aliased every albedo edge and put a
+        # ~2 m floor under the learnable geometry; with exact hits the
+        # image is the true continuous projection of the scene.)
         cols, rows = np.meshgrid(np.arange(w, dtype=np.float64),
                                  np.arange(h, dtype=np.float64))
-        img = np.zeros((h, w))
-        hit_alt = np.full((h, w), ALT_MIN)
-        done = np.zeros((h, w), bool)
-        for alt in np.linspace(ALT_MAX, ALT_MIN, 120):
-            lon, lat = rpc.localization(cols.ravel(), rows.ravel(),
-                                        np.full(w * h, alt))
-            zs = height_field(lon, lat).reshape(h, w)
-            hit = (~done) & (alt <= zs)
-            hit_alt = np.where(hit, alt, hit_alt)
-            a = albedo_field(lon, lat).reshape(h, w)
-            img = np.where(hit, a, img)
-            done |= hit
+        fc, fr = cols.ravel(), rows.ravel()
+        levels = np.linspace(ALT_MAX, ALT_MIN, 120)
+        hit_lo = np.full(w * h, ALT_MIN)  # highest level known below surface
+        hit_hi = np.full(w * h, ALT_MAX)  # lowest level known above surface
+        done = np.zeros(w * h, bool)
+        for alt in levels:
+            lon, lat = rpc.localization(fc, fr, np.full(w * h, alt))
+            below = (~done) & (alt <= hf(lon, lat))
+            hit_lo = np.where(below, alt, hit_lo)
+            hit_hi = np.where(done | below, hit_hi, alt)
+            done |= below
+        lo, hi = hit_lo.copy(), hit_hi.copy()
+        for _ in range(24):  # ~100 m / 2^24 < 1 mm
+            mid = 0.5 * (lo + hi)
+            lon, lat = rpc.localization(fc, fr, mid)
+            below = mid <= hf(lon, lat)
+            lo = np.where(below, mid, lo)
+            hi = np.where(below, hi, mid)
+        hit = 0.5 * (lo + hi)
+        lon, lat = rpc.localization(fc, fr, hit)
+        img = albedo_field(lon, lat, checker).reshape(h, w)
         rgb = np.stack([img, img, img], 0)
         rgb8 = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
 

@@ -28,18 +28,26 @@ def main():
     ap.add_argument("--size", type=int, default=32)
     ap.add_argument("--view_spread", type=float, default=0.05,
                     help="off-nadir parallax in px per meter of altitude")
+    ap.add_argument("--terrain", default="box", choices=("box", "smooth"),
+                    help="scene geometry: 'box' (discontinuous, default) or "
+                         "'smooth' (the geometry-anchor terrain)")
+    ap.add_argument("--checker", type=int, default=4,
+                    help="albedo checker frequency")
     args = ap.parse_args()
 
-    from fixtures import AOI_LAT, AOI_LON, build_synthetic_dataset, height_field
+    from fixtures import (AOI_LAT, AOI_LON, HEIGHT_FIELDS,
+                          build_synthetic_dataset)
     from satnerf_tpu.geo.geotiff import Affine, Profile, write_geotiff
     from satnerf_tpu.geo.utm import utm_from_latlon
     from satnerf_tpu.ops.dsm_raster import raster_dsm
 
+    height_field = HEIGHT_FIELDS[args.terrain]
     data_dir = os.path.join(args.out_dir, "data")
     gt_dir = os.path.join(args.out_dir, "gt")
     build_synthetic_dataset(data_dir, n_train=args.n_train, n_test=args.n_test,
                             w=args.size, h=args.size,
-                            view_spread=args.view_spread)
+                            view_spread=args.view_spread,
+                            terrain=args.terrain, checker=args.checker)
 
     os.makedirs(gt_dir, exist_ok=True)
     lons = np.linspace(AOI_LON - 0.002, AOI_LON + 0.002, 400)
