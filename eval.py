@@ -79,11 +79,9 @@ def eval_aoi(run_id: str, logs_dir: str, output_dir: str, epoch_number: int,
                 if t is None:
                     # unseen AOI: brute-force the best-PSNR train embedding,
                     # like the reference search over the train images
-                    # (eval_satnerf.py:148-164)
-                    with open(os.path.join(cfg.root_dir, "train.txt")) as f:
-                        n_train = len([s for s in f.read().split("\n")
-                                       if s.strip()])
-                    n_search = min(n_train, cfg.t_embbeding_vocab)
+                    # (eval_satnerf.py:148-164); the dataset already counted
+                    # the train split, so no second train.txt read
+                    n_search = min(dataset.n_train, cfg.t_embbeding_vocab)
                     t = find_best_embedding_for_val_image(
                         system, params, rays, rgbs,
                         train_indices=range(n_search))

@@ -14,6 +14,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import socket
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -98,6 +99,7 @@ class SatelliteScene:
             self.records = [
                 self._record(p, t) for t, p in enumerate(self.json_files)
             ]
+            self.n_train = len(self.records)
             self.all_rays, self.all_rgbs, self.all_ids = self._load_all()
         elif split == "eval_train":
             # per-image evaluation over the TRAIN images (the reference's
@@ -107,10 +109,11 @@ class SatelliteScene:
             self.records = [
                 self._record(p, t) for t, p in enumerate(self.json_files)
             ]
+            self.n_train = len(self.records)
         else:
             test_files = self._split_files("test.txt")
             train_files = self._split_files("train.txt")
-            n_train = len(train_files)
+            self.n_train = n_train = len(train_files)
             # reference quirk: val ids continue AFTER the train ids, and the
             # train probe image keeps id 0 (datasets/satellite.py:127-133)
             self.json_files = [train_files[0]] + test_files
@@ -178,9 +181,11 @@ class SatelliteScene:
             os.makedirs(self.cache_dir, exist_ok=True)
             # atomic publish: multi-host runs (parallel/distributed.py) have
             # every process racing to build the same cache — write to a
-            # per-process tmp file and rename, so a concurrent reader never
-            # sees a half-written .npy
-            tmp = f"{cache_path}.{os.getpid()}.tmp.npy"
+            # host+process-unique tmp file and rename, so a concurrent
+            # reader never sees a half-written .npy (PIDs alone can collide
+            # across hosts sharing one cache_dir)
+            tmp = (f"{cache_path}.{socket.gethostname()}"
+                   f".{os.getpid()}.tmp.npy")
             np.save(tmp, rays)  # ends in .npy so np.save appends nothing
             os.replace(tmp, cache_path)
         return rays

@@ -174,3 +174,44 @@ class TestParityProtocol:
         assert abs(report["delta"]["mae"]) < 1e-3
         assert os.path.exists(os.path.join(base, "parity_out",
                                            "parity_report.json"))
+
+
+class TestEmbeddingSearch:
+    """find_best_embedding_for_val_image: the subsampled-ray search (VERDICT
+    r2 item 8) must rank candidates identically to the full-image search and
+    actually slice the rays it renders."""
+
+    class _FakeSystem:
+        """render_image stub: rgb for candidate t is a constant t/10 image,
+        so PSNR against a gt of 0.2 peaks at t=2 regardless of subsampling."""
+
+        def __init__(self):
+            from satnerf_tpu.config import Config
+
+            self.cfg = Config(t_embbeding_vocab=5)
+            self.rendered_sizes = []
+
+        def render_image(self, params, rays, ts):
+            self.rendered_sizes.append(rays.shape[0])
+            t = int(ts[0])
+            return {"rgb_coarse": np.full((rays.shape[0], 3), t / 10.0,
+                                          np.float32)}
+
+    def test_argmax_preserved_and_rays_subsampled(self):
+        from satnerf_tpu.eval.val_ts import find_best_embedding_for_val_image
+
+        n = 10000
+        rays = np.zeros((n, 11), np.float32)
+        gt = np.full((n, 3), 0.2, np.float32)
+
+        fake = self._FakeSystem()
+        t_sub = find_best_embedding_for_val_image(fake, None, rays, gt,
+                                                  max_rays=4096)
+        assert t_sub == 2
+        assert all(s == 4096 for s in fake.rendered_sizes)
+
+        fake = self._FakeSystem()
+        t_full = find_best_embedding_for_val_image(fake, None, rays, gt,
+                                                   max_rays=0)
+        assert t_full == 2
+        assert all(s == n for s in fake.rendered_sizes)
