@@ -86,6 +86,21 @@ def contribute_global(sharding, host_array: np.ndarray):
     lo = min(idx[0].start or 0 for idx in addressable.values())
     hi = max(shape[0] if idx[0].stop is None else idx[0].stop
              for idx in addressable.values())
+    # make_mesh's jax.devices() ordering guarantees contiguity; a permuted /
+    # topology-optimized device order would silently include other
+    # processes' rows in [lo, hi) — fail loudly instead
+    owned = sum(
+        (shape[0] if idx[0].stop is None else idx[0].stop)
+        - (idx[0].start or 0)
+        for idx in addressable.values()
+    )
+    if owned != hi - lo:
+        raise ValueError(
+            "contribute_global requires each process's addressable rows to "
+            f"form one contiguous block; got {owned} owned rows spanning "
+            f"[{lo}, {hi}). Use a mesh built from jax.devices() order "
+            "(parallel.mesh.make_mesh), not a permuted device mesh."
+        )
     return jax.make_array_from_process_local_data(
         sharding, np.ascontiguousarray(host_array[lo:hi]), shape
     )

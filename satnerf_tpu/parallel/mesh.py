@@ -23,6 +23,18 @@ def make_mesh(n_devices: int = 0) -> Mesh:
     devs = jax.devices()
     if n_devices and n_devices > 0:
         devs = devs[:n_devices]
+        if jax.process_count() > 1:
+            # a truncated mesh that leaves some process with zero local
+            # devices would crash later in opaque ways (empty eval mesh,
+            # min() over no addressable rows in contribute_global)
+            procs = {d.process_index for d in devs}
+            if procs != set(range(jax.process_count())):
+                raise ValueError(
+                    f"n_devices={n_devices} covers only processes "
+                    f"{sorted(procs)} of {jax.process_count()}; in a "
+                    "multi-process run every process must own at least one "
+                    "mesh device (use n_devices=0 for all devices)"
+                )
     return Mesh(np.array(devs), (DATA_AXIS,))
 
 
