@@ -66,6 +66,57 @@ def main():
     leaves = jax.tree_util.tree_leaves(jax.device_get(state.params))
     checksum = float(sum(np.abs(l).sum() for l in leaves))
 
+    # ---- proc-0-only run IO under a live 2-process runtime: checkpoint +
+    # metrics.jsonl exactly as train/loop.py gates them, then resume from
+    # the checkpoint on BOTH processes and continue. Each process writes
+    # into its OWN directory, so a gating bug (proc 1 writing) shows up as
+    # files under proc1/ — the parent asserts that dir stays absent.
+    io_extra = {}
+    io_base = os.environ.get("SATNERF_TEST_IO_DIR")
+    if io_base:
+        import jax.numpy as jnp
+        from jax.experimental import multihost_utils
+
+        from satnerf_tpu.train.checkpoints import (load_checkpoint,
+                                                   save_checkpoint)
+        from satnerf_tpu.train.logging import RunLogger
+        from satnerf_tpu.train.system import TrainState
+
+        my_dir = os.path.join(io_base, f"proc{jax.process_index()}")
+        if is_main():
+            logger = RunLogger(my_dir, "run")
+            logger.scalars(3, {"train/loss": losses[-1]})
+            logger.close()
+            save_checkpoint(os.path.join(my_dir, "run", "epoch=1.ckpt"),
+                            state)
+        multihost_utils.sync_global_devices("ckpt_written")
+
+        def run_two(st):
+            out = []
+            for _ in range(2):
+                st, m = step(st, {"rays": r, "rgbs": g, "ts": t}, key)
+                out.append(float(m["loss"]))
+            return out
+
+        cont_losses = run_two(state)
+
+        # every process resumes from PROC 0's checkpoint (shared storage)
+        ckpt = os.path.join(io_base, "proc0", "run", "epoch=1.ckpt")
+        tmpl = system.init_state(jax.random.PRNGKey(7))
+        p_, o_, s_ = load_checkpoint(ckpt, tmpl)
+        resumed_losses = run_two(
+            TrainState(p_, o_, jnp.asarray(s_, jnp.int32))
+        )
+        my_files = []
+        if os.path.isdir(my_dir):
+            my_files = sorted(
+                os.path.relpath(os.path.join(dp, f), my_dir)
+                for dp, _, fs in os.walk(my_dir) for f in fs
+            )
+        io_extra = {"cont_losses": cont_losses,
+                    "resumed_losses": resumed_losses,
+                    "io_files": my_files}
+
     # host-local eval path on the collapsed mesh (process 0 only, as the
     # training loop would drive it)
     eval_ok = True
@@ -79,6 +130,7 @@ def main():
         "losses": losses,
         "checksum": checksum,
         "eval_ok": eval_ok,
+        **io_extra,
     }), flush=True)
 
 
