@@ -82,8 +82,13 @@ _COS_C = (9.99999444e-01, -4.99995582e-01, 4.16610335e-02,
           -1.38627500e-03, 2.42532299e-05, -2.21941298e-07)
 
 
+_TRIG_ABLATE = _os.environ.get("SATNERF_TRIG_ABLATE", "") == "1"
+
+
 def fast_sin(x):
     x = x.astype(jnp.float32)  # Mosaic has no bf16 roundeven lowering
+    if _TRIG_ABLATE:  # perf probe only: wrong math, measures the trig stall
+        return x * 0.25
     y = x - _TWO_PI * jnp.round(x * _INV_TWO_PI)
     y2 = y * y
     p = _SIN_C[4]
@@ -94,6 +99,8 @@ def fast_sin(x):
 
 def fast_cos(x):
     x = x.astype(jnp.float32)  # Mosaic has no bf16 roundeven lowering
+    if _TRIG_ABLATE:  # perf probe only: wrong math, measures the trig stall
+        return x * 0.25 + 0.5
     y = x - _TWO_PI * jnp.round(x * _INV_TWO_PI)
     y2 = y * y
     p = _COS_C[5]
@@ -146,6 +153,18 @@ def pack_params(params: dict, layers: int, feat: int, skip: int,
         out = jnp.zeros((IN_COLS, w.shape[1]), jnp.float32)
         return out.at[row0 : row0 + w.shape[0]].set(w)
 
+    def narrow_t(w):
+        """Narrow-head weight (K, nout<=3) -> transposed (16, K).
+
+        Narrow heads run on the VPU (lane-reduction forward, (T, 16)
+        wgrad matmul) instead of padding 1-3 useful output columns to a
+        128-lane MXU matmul. Measured end-to-end perf-neutral (139.5k vs
+        139.2k train, 412.6k vs 392.9-417k serve — the padded matmuls
+        were hidden under the VPU critical path), kept because it frees
+        MXU cycles and ~1 MB of VMEM-resident weight padding."""
+        out = jnp.zeros((IN_COLS, w.shape[0]), jnp.float32)
+        return out.at[: w.shape[1]].set(w.T)
+
     def pad_lanes(w, cols=128):
         out = jnp.zeros((w.shape[0], cols), jnp.float32)
         return out.at[:, : w.shape[1]].set(w)
@@ -171,13 +190,13 @@ def pack_params(params: dict, layers: int, feat: int, skip: int,
         "B": jnp.stack(B_list).astype(dtype),  # (L-1, F, F)
         "C": C.astype(dtype),
         "bt": jnp.stack(bt),  # (L, F) f32
-        "Wsig": pad_lanes(k("sigma_head")).astype(dtype),
+        "Wsig": narrow_t(k("sigma_head")).astype(dtype),
         "bsig": pad_bias(b("sigma_head")),
         "Wfeat": k("feats_head").astype(dtype),
         "bfeat": b("feats_head"),
         "Wrgb0": k("rgb_0").astype(dtype),
         "brgb0": b("rgb_0"),
-        "Wrgb1": pad_lanes(k("rgb_1")).astype(dtype),
+        "Wrgb1": narrow_t(k("rgb_1")).astype(dtype),
         "brgb1": pad_bias(b("rgb_1")),
         "Wsun0h": k("sun_v_0")[:feat].astype(dtype),
         "Wsun0d": pad_in16(k("sun_v_0")[feat:], 3).astype(dtype),  # sun rows
@@ -186,18 +205,18 @@ def pack_params(params: dict, layers: int, feat: int, skip: int,
         "bsun1": b("sun_v_1"),
         "Wsun2": k("sun_v_2").astype(dtype),
         "bsun2": b("sun_v_2"),
-        "Wsun3": pad_lanes(k("sun_v_out")).astype(dtype),
+        "Wsun3": narrow_t(k("sun_v_out")).astype(dtype),
         "bsun3": pad_bias(b("sun_v_out")),
         "Wsky0": pad_in16(k("sky_0"), 3).astype(dtype),
         "bsky0": b("sky_0"),
-        "Wsky1": pad_lanes(k("sky_1")).astype(dtype),
+        "Wsky1": narrow_t(k("sky_1")).astype(dtype),
         "bsky1": pad_bias(b("sky_1")),
     }
     if use_beta:
         packed["Wbeta0h"] = k("beta_0")[:feat].astype(dtype)
         packed["Wbeta0t"] = pad_in16(k("beta_0")[feat:], 6).astype(dtype)
         packed["bbeta0"] = b("beta_0")
-        packed["Wbeta1"] = pad_lanes(k("beta_1")).astype(dtype)
+        packed["Wbeta1"] = narrow_t(k("beta_1")).astype(dtype)
         packed["bbeta1"] = pad_bias(b("beta_1"))
     return packed
 
@@ -216,25 +235,25 @@ def unpack_grads(g: dict, params: dict, layers: int, feat: int, skip: int,
         if l == skip:
             w = jnp.concatenate([g["C"][:3], w], axis=0)
         out[f"fc_{l}"] = dense(w, g["bt"][l])
-    out["sigma_head"] = dense(g["Wsig"][:, :1], g["bsig"][:1])
+    out["sigma_head"] = dense(g["Wsig"][:1].T, g["bsig"][:1])
     out["feats_head"] = dense(g["Wfeat"], g["bfeat"])
     out["rgb_0"] = dense(g["Wrgb0"], g["brgb0"])
-    out["rgb_1"] = dense(g["Wrgb1"][:, :3], g["brgb1"][:3])
+    out["rgb_1"] = dense(g["Wrgb1"][:3].T, g["brgb1"][:3])
     out["sun_v_0"] = dense(
         jnp.concatenate([g["Wsun0h"], g["Wsun0d"][3:6]], axis=0), g["bsun0"]
     )
     out["sun_v_1"] = dense(g["Wsun1"], g["bsun1"])
     out["sun_v_2"] = dense(g["Wsun2"], g["bsun2"])
-    out["sun_v_out"] = dense(g["Wsun3"][:, :1], g["bsun3"][:1])
+    out["sun_v_out"] = dense(g["Wsun3"][:1].T, g["bsun3"][:1])
     out["sky_0"] = dense(g["Wsky0"][3:6], g["bsky0"])
-    out["sky_1"] = dense(g["Wsky1"][:, :3], g["bsky1"][:3])
+    out["sky_1"] = dense(g["Wsky1"][:3].T, g["bsky1"][:3])
     if use_beta:
         tau = params["beta_0"]["Dense_0"]["kernel"].shape[0] - feat
         out["beta_0"] = dense(
             jnp.concatenate([g["Wbeta0h"], g["Wbeta0t"][6 : 6 + tau]], axis=0),
             g["bbeta0"],
         )
-        out["beta_1"] = dense(g["Wbeta1"][:, :1], g["bbeta1"][:1])
+        out["beta_1"] = dense(g["Wbeta1"][:1].T, g["bbeta1"][:1])
     return out
 
 
@@ -274,20 +293,35 @@ def _trunk_fwd(xin, refs, layers, skip, dtype, save=None):
     return h
 
 
+def _narrow_fwd(x, w_t, bias, nout, dtype):
+    """Narrow head on the VPU: (T, K) @ transposed (16, K) weights ->
+    (T, nout), nout <= 3. A broadcast-multiply + lane reduction per output
+    column replaces a (K, 128)-padded MXU matmul whose useful width was
+    1-3 lanes (inputs round-trip through `dtype` so the numerics match the
+    bf16 matmul it replaces)."""
+    xf = _f32(x.astype(dtype))
+    cols = [jnp.sum(xf * _f32(w_t[j : j + 1, :]), axis=1, keepdims=True)
+            for j in range(nout)]
+    pre = cols[0] if nout == 1 else jnp.concatenate(cols, axis=1)
+    # reshape-then-slice: bias[None, :nout] routes through jnp's gather
+    # path, which Mosaic only lowers in 2D — slice the 2D view instead
+    return pre + jnp.reshape(bias, (1, -1))[:, :nout]
+
+
 def _heads_fwd(xin, h, w, use_beta, rgb_padding, dtype, save=None):
     """All heads; optionally record intermediates for backward."""
     xb = xin.astype(dtype)
     hb = h.astype(dtype)
-    sigma_pre = _dot(hb, w["Wsig"]) + w["bsig"][None, :]
-    sigma = jax.nn.softplus(sigma_pre[:, 0:1])
+    sigma_pre = _narrow_fwd(h, w["Wsig"], w["bsig"], 1, dtype)
+    sigma = jax.nn.softplus(sigma_pre)
 
     feats = _dot(hb, w["Wfeat"]) + w["bfeat"][None, :]
     fb = feats.astype(dtype)
 
     r_pre = _dot(fb, w["Wrgb0"]) + w["brgb0"][None, :]
     r = fast_sin(r_pre)
-    rgb_s = jax.nn.sigmoid(_dot(r.astype(dtype), w["Wrgb1"]) + w["brgb1"][None, :])
-    rgb = rgb_s[:, 0:3] * (1 + 2 * rgb_padding) - rgb_padding
+    rgb_s = jax.nn.sigmoid(_narrow_fwd(r, w["Wrgb1"], w["brgb1"], 3, dtype))
+    rgb = rgb_s * (1 + 2 * rgb_padding) - rgb_padding
 
     s0_pre = _dot(fb, w["Wsun0h"]) + _dot(xb, w["Wsun0d"]) + w["bsun0"][None, :]
     s0 = fast_sin(s0_pre)
@@ -295,12 +329,10 @@ def _heads_fwd(xin, h, w, use_beta, rgb_padding, dtype, save=None):
     s1 = fast_sin(s1_pre)
     s2_pre = _dot(s1.astype(dtype), w["Wsun2"]) + w["bsun2"][None, :]
     s2 = fast_sin(s2_pre)
-    sunv = jax.nn.sigmoid(_dot(s2.astype(dtype), w["Wsun3"]) + w["bsun3"][None, :])
+    sunv = jax.nn.sigmoid(_narrow_fwd(s2, w["Wsun3"], w["bsun3"], 1, dtype))
 
     skyh = jax.nn.relu(_dot(xb, w["Wsky0"]) + w["bsky0"][None, :])
-    sky = jax.nn.sigmoid(
-        _dot(skyh.astype(dtype), w["Wsky1"]) + w["bsky1"][None, :]
-    )
+    sky = jax.nn.sigmoid(_narrow_fwd(skyh, w["Wsky1"], w["bsky1"], 3, dtype))
 
     beta = bh = None
     if use_beta:
@@ -308,7 +340,7 @@ def _heads_fwd(xin, h, w, use_beta, rgb_padding, dtype, save=None):
                   + w["bbeta0"][None, :])
         bh = fast_sin(bh_pre)
         beta = jax.nn.softplus(
-            _dot(bh.astype(dtype), w["Wbeta1"]) + w["bbeta1"][None, :]
+            _narrow_fwd(bh, w["Wbeta1"], w["bbeta1"], 1, dtype)
         )
 
     if save is not None:
@@ -318,7 +350,7 @@ def _heads_fwd(xin, h, w, use_beta, rgb_padding, dtype, save=None):
             sunv=sunv, skyh=skyh, sky=sky, bh_pre=bh_pre if use_beta else None,
             bh=bh, beta=beta,
         )
-    return rgb, sigma, sunv[:, 0:1], sky[:, 0:3], (beta[:, 0:1] if use_beta else None)
+    return rgb, sigma, sunv, sky, beta
 
 
 def _make_fwd_kernel(layers, skip, use_beta, rgb_padding, dtype):
@@ -391,15 +423,29 @@ def _point_bwd_from_saves(xin, g, w, grad_refs, h, trunk_save, hs, layers,
             axis=-1,
         )
 
+    def pad16(v):
+        return jnp.concatenate(
+            [v, jnp.zeros((t_rows, IN_COLS - v.shape[1]), jnp.float32)],
+            axis=-1,
+        )
+
+    def narrow_bwd(d_pre, x_save, wname, bname):
+        """Narrow-head backward: (T, nout) cotangent -> accumulate the
+        transposed (16, K) wgrad as ONE skinny matmul (vs a (K, 128)
+        padded output before) + the bias grad, return d_x via a K=16
+        matmul against the transposed weights."""
+        d16 = pad16(d_pre).astype(dtype)
+        acc(wname, _dot_t_lhs(d16, x_save.astype(dtype)))
+        acc(bname, jnp.sum(pad128(d_pre), axis=0))
+        return _dot(d16, w[wname])
+
     d_in = jnp.zeros((xin.shape[0], IN_COLS), jnp.float32)
 
     # ---- rgb branch
     g_rgb = g[:, 0:3] * (1 + 2 * rgb_padding)
     rgb_s3 = hs["rgb_s"][:, 0:3]
-    d_rgb1_pre = pad128(g_rgb * rgb_s3 * (1.0 - rgb_s3))
-    acc("Wrgb1", _dot_t_lhs(hs["r"].astype(dtype), d_rgb1_pre.astype(dtype)))
-    acc("brgb1", jnp.sum(d_rgb1_pre, axis=0))
-    d_r = _dot_t_rhs(d_rgb1_pre.astype(dtype), w["Wrgb1"])
+    d_r = narrow_bwd(g_rgb * rgb_s3 * (1.0 - rgb_s3), hs["r"],
+                     "Wrgb1", "brgb1")
     d_r_pre = d_r * fast_cos(hs["r_pre"])
     acc("Wrgb0", _dot_t_lhs(fb, d_r_pre.astype(dtype)))
     acc("brgb0", jnp.sum(d_r_pre, axis=0))
@@ -407,10 +453,8 @@ def _point_bwd_from_saves(xin, g, w, grad_refs, h, trunk_save, hs, layers,
 
     # ---- sun branch
     sunv = hs["sunv"]
-    d_sun3_pre = pad128(g[:, 4:5] * sunv[:, 0:1] * (1.0 - sunv[:, 0:1]))
-    acc("Wsun3", _dot_t_lhs(hs["s2"].astype(dtype), d_sun3_pre.astype(dtype)))
-    acc("bsun3", jnp.sum(d_sun3_pre, axis=0))
-    d_s2 = _dot_t_rhs(d_sun3_pre.astype(dtype), w["Wsun3"])
+    d_s2 = narrow_bwd(g[:, 4:5] * sunv[:, 0:1] * (1.0 - sunv[:, 0:1]),
+                      hs["s2"], "Wsun3", "bsun3")
     d_s2_pre = d_s2 * fast_cos(hs["s2_pre"])
     acc("Wsun2", _dot_t_lhs(hs["s1"].astype(dtype), d_s2_pre.astype(dtype)))
     acc("bsun2", jnp.sum(d_s2_pre, axis=0))
@@ -428,10 +472,8 @@ def _point_bwd_from_saves(xin, g, w, grad_refs, h, trunk_save, hs, layers,
 
     # ---- sky branch
     sky = hs["sky"]
-    d_sky1_pre = pad128(g[:, 5:8] * sky[:, 0:3] * (1.0 - sky[:, 0:3]))
-    acc("Wsky1", _dot_t_lhs(hs["skyh"].astype(dtype), d_sky1_pre.astype(dtype)))
-    acc("bsky1", jnp.sum(d_sky1_pre, axis=0))
-    d_skyh = _dot_t_rhs(d_sky1_pre.astype(dtype), w["Wsky1"])
+    d_skyh = narrow_bwd(g[:, 5:8] * sky[:, 0:3] * (1.0 - sky[:, 0:3]),
+                        hs["skyh"], "Wsky1", "bsky1")
     d_skyh_pre = d_skyh * (hs["skyh"] > 0)
     acc("Wsky0", _dot_t_lhs(xb, d_skyh_pre.astype(dtype)))
     acc("bsky0", jnp.sum(d_skyh_pre, axis=0))
@@ -441,11 +483,8 @@ def _point_bwd_from_saves(xin, g, w, grad_refs, h, trunk_save, hs, layers,
     if use_beta:
         beta = hs["beta"]
         # softplus' (pre) = sigmoid(pre) = 1 - exp(-softplus(pre))
-        d_beta1_pre = pad128(g[:, 8:9] * (1.0 - jnp.exp(-beta[:, 0:1])))
-        acc("Wbeta1", _dot_t_lhs(hs["bh"].astype(dtype),
-                                 d_beta1_pre.astype(dtype)))
-        acc("bbeta1", jnp.sum(d_beta1_pre, axis=0))
-        d_bh = _dot_t_rhs(d_beta1_pre.astype(dtype), w["Wbeta1"])
+        d_bh = narrow_bwd(g[:, 8:9] * (1.0 - jnp.exp(-beta[:, 0:1])),
+                          hs["bh"], "Wbeta1", "bbeta1")
         d_bh_pre = d_bh * fast_cos(hs["bh_pre"])
         acc("Wbeta0h", _dot_t_lhs(fb, d_bh_pre.astype(dtype)))
         acc("Wbeta0t", _dot_t_lhs(xb, d_bh_pre.astype(dtype)))
@@ -459,10 +498,8 @@ def _point_bwd_from_saves(xin, g, w, grad_refs, h, trunk_save, hs, layers,
     d_h = _dot_t_rhs(d_feats.astype(dtype), w["Wfeat"])
 
     sigma = jax.nn.softplus(hs["sigma_pre"][:, 0:1])
-    d_sig_pre = pad128(g[:, 3:4] * (1.0 - jnp.exp(-sigma)))
-    acc("Wsig", _dot_t_lhs(hb, d_sig_pre.astype(dtype)))
-    acc("bsig", jnp.sum(d_sig_pre, axis=0))
-    d_h += _dot_t_rhs(d_sig_pre.astype(dtype), w["Wsig"])
+    d_h += narrow_bwd(g[:, 3:4] * (1.0 - jnp.exp(-sigma)), h,
+                      "Wsig", "bsig")
 
     # ---- trunk backward: accumulate straight into the per-layer
     # slices of the resident grad refs

@@ -61,6 +61,18 @@ def smooth_height_field(lon, lat):
 HEIGHT_FIELDS = {"box": height_field, "smooth": smooth_height_field}
 
 
+def scaled_height_field(terrain: str, relief: float = 1.0):
+    """Height field with its deviation from the 10 m base plane scaled by
+    `relief`. With alt_bounds="terrain" the stratified z-bin width tracks
+    the scene's altitude range, so relief trades bin width against parallax
+    signal — measured: shrinking relief HURTS (signal loss beats bin-width
+    gain; r3 anchor ladder, docs/DESIGN.md "Geometry anchor")."""
+    hf = HEIGHT_FIELDS[terrain]
+    if relief == 1.0:
+        return hf
+    return lambda lon, lat: 10.0 + relief * (hf(lon, lat) - 10.0)
+
+
 def albedo_field(lon, lat, checker: int = 4):
     u = (lon - AOI_LON) / 0.002
     v = (lat - AOI_LAT) / 0.002
@@ -72,7 +84,8 @@ def build_synthetic_dataset(root: str, n_train: int = 3, n_test: int = 2,
                             w: int = 32, h: int = 32, seed: int = 0,
                             with_keypoints: bool = False, n_kp: int = 40,
                             view_spread: float = 0.05,
-                            terrain: str = "box", checker: int = 4):
+                            terrain: str = "box", checker: int = 4,
+                            alt_bounds: str = "rpc", relief: float = 1.0):
     """Write a reference-format dataset: per-image json + tif + splits.
 
     with_keypoints adds bundle-adjustment-style depth supervision data:
@@ -83,10 +96,29 @@ def build_synthetic_dataset(root: str, n_train: int = 3, n_test: int = 2,
     terrain selects the scene geometry (HEIGHT_FIELDS): "box" (default,
     depth-discontinuous) or "smooth" (the geometry-anchor terrain);
     checker sets the albedo checker frequency.
+
+    alt_bounds picks the per-image min_alt/max_alt written to the json
+    (which become the ray near/far and hence the stratified z-bin width):
+    "rpc" (default) uses the full RPC fit range [ALT_MIN, ALT_MAX] =
+    100 m; "terrain" uses the terrain's own min/max ±2 m like the
+    reference derives them from the lidar DSM
+    (/root/reference/create_satellite_dataset.py:101-103) — roughly
+    halving the z-bin width for the same n_samples.
+
+    relief scales the terrain's deviation from the 10 m base plane (see
+    scaled_height_field) — with alt_bounds="terrain" it sets the z-bin
+    width and hence the anchor scene's achievable DSM MAE.
     """
     from satnerf_tpu.geo.ellipsoid import ecef_from_latlon
 
-    hf = HEIGHT_FIELDS[terrain]
+    hf = scaled_height_field(terrain, relief)
+    if alt_bounds == "terrain":
+        gl = np.linspace(-0.002, 0.002, 241)
+        glon, glat = np.meshgrid(AOI_LON + gl, AOI_LAT + gl)
+        z = hf(glon.ravel(), glat.ravel())
+        min_alt, max_alt = float(z.min() - 2.0), float(z.max() + 2.0)
+    else:
+        min_alt, max_alt = ALT_MIN, ALT_MAX
     os.makedirs(root, exist_ok=True)
     rng = np.random.RandomState(seed)
     names = []
@@ -155,8 +187,8 @@ def build_synthetic_dataset(root: str, n_train: int = 3, n_test: int = 2,
                         "coordinates": [[[lon_r[0], lat_r[0]], [lon_r[1], lat_r[0]],
                                          [lon_r[1], lat_r[1]], [lon_r[0], lat_r[1]],
                                          [lon_r[0], lat_r[0]]]]},
-            "min_alt": ALT_MIN,
-            "max_alt": ALT_MAX,
+            "min_alt": min_alt,
+            "max_alt": max_alt,
             "rpc": rpc.to_dict(),
         }
         if with_keypoints:

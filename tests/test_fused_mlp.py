@@ -116,7 +116,8 @@ class TestPacking:
         packed = FM.pack_params(params, 8, 32, 4, True, 4, jnp.float32)
         assert packed["A"].shape == (16, 32)
         assert packed["B"].shape == (7, 32, 32)
-        assert packed["Wsig"].shape == (32, 128)
+        # narrow heads are stored transposed (16, K) for the VPU path
+        assert packed["Wsig"].shape == (16, 32)
         grads = {k: jnp.ones_like(v) for k, v in packed.items()}
         un = FM.unpack_grads(grads, params, 8, 32, 4, True)
         for name, sub in un.items():

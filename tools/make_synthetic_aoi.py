@@ -33,21 +33,30 @@ def main():
                          "'smooth' (the geometry-anchor terrain)")
     ap.add_argument("--checker", type=int, default=4,
                     help="albedo checker frequency")
+    ap.add_argument("--alt_bounds", default="rpc", choices=("rpc", "terrain"),
+                    help="per-image min/max_alt: 'rpc' (full 100 m fit "
+                         "range) or 'terrain' (terrain min/max ±2 m, like "
+                         "the reference's lidar-DSM-derived bounds)")
+    ap.add_argument("--relief", type=float, default=1.0,
+                    help="scale the terrain's deviation from the 10 m base "
+                         "plane; with --alt_bounds terrain this sets the "
+                         "z-bin width (geometry-anchor knob)")
     args = ap.parse_args()
 
-    from fixtures import (AOI_LAT, AOI_LON, HEIGHT_FIELDS,
-                          build_synthetic_dataset)
+    from fixtures import (AOI_LAT, AOI_LON, build_synthetic_dataset,
+                          scaled_height_field)
     from satnerf_tpu.geo.geotiff import Affine, Profile, write_geotiff
     from satnerf_tpu.geo.utm import utm_from_latlon
     from satnerf_tpu.ops.dsm_raster import raster_dsm
 
-    height_field = HEIGHT_FIELDS[args.terrain]
+    height_field = scaled_height_field(args.terrain, args.relief)
     data_dir = os.path.join(args.out_dir, "data")
     gt_dir = os.path.join(args.out_dir, "gt")
     build_synthetic_dataset(data_dir, n_train=args.n_train, n_test=args.n_test,
                             w=args.size, h=args.size,
                             view_spread=args.view_spread,
-                            terrain=args.terrain, checker=args.checker)
+                            terrain=args.terrain, checker=args.checker,
+                            alt_bounds=args.alt_bounds, relief=args.relief)
 
     os.makedirs(gt_dir, exist_ok=True)
     lons = np.linspace(AOI_LON - 0.002, AOI_LON + 0.002, 400)
