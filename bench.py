@@ -41,7 +41,34 @@ NIMP = int(os.environ.get("BENCH_NIMP", 0))  # n_importance (fine model)
 CHUNK = int(os.environ.get("BENCH_CHUNK", 0))  # 0 = config default
 
 
+# Watchdog: the tunneled TPU runtime can wedge (every device op hangs —
+# CLAUDE.md gotchas). Fail fast with a nonzero exit instead of hanging the
+# caller forever; generous default covers the ~40-90 s remote compiles.
+# A daemon THREAD, not SIGALRM: a wedged main thread is blocked inside a
+# C call and never reaches the bytecode boundary where a signal handler
+# could run, while os._exit from another thread always works.
+WATCHDOG_S = int(os.environ.get("BENCH_WATCHDOG_S", 1500))
+
+
+def _arm_watchdog():
+    import threading
+
+    def _abort():
+        print(f"bench.py watchdog: no result within {WATCHDOG_S}s — "
+              "TPU tunnel likely wedged (see CLAUDE.md)", file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(1)
+
+    if WATCHDOG_S > 0:
+        t = threading.Timer(WATCHDOG_S, _abort)
+        t.daemon = True
+        t.start()
+        return t
+    return None
+
+
 def main():
+    watchdog = _arm_watchdog()
     import jax
 
     from satnerf_tpu.config import Config
@@ -82,6 +109,8 @@ def main():
         per_chip = BATCH * STEPS / dt / n_chips
         fpr = flops_per_ray(MODEL, cfg.fc_layers, cfg.fc_units,
                             cfg.n_samples, mode="render", n_importance=NIMP)
+        if watchdog is not None:
+            watchdog.cancel()
         print(json.dumps({
             "metric": "image_rays_per_sec_per_chip",
             "value": round(per_chip, 1),
@@ -119,6 +148,8 @@ def main():
         fpr = flops_per_ray(MODEL, cfg.fc_layers, cfg.fc_units,
                             cfg.n_samples, mode="render",
                             n_importance=NIMP)
+        if watchdog is not None:
+            watchdog.cancel()
         print(json.dumps({
             "metric": "render_rays_per_sec_per_chip",
             "value": round(per_chip, 1),
@@ -155,6 +186,8 @@ def main():
     per_chip = rays_per_sec / n_chips
     fpr = flops_per_ray(MODEL, cfg.fc_layers, cfg.fc_units, cfg.n_samples,
                         mode="train", sc=SC > 0, n_importance=NIMP)
+    if watchdog is not None:
+        watchdog.cancel()
     print(json.dumps({
         "metric": "train_rays_per_sec_per_chip",
         "value": round(per_chip, 1),
