@@ -215,3 +215,40 @@ class TestEmbeddingSearch:
                                                    max_rays=0)
         assert t_full == 2
         assert all(s == n for s in fake.rendered_sizes)
+
+
+class TestDSMDiagnostics:
+    """tools/dsm_diagnostics.py — chain-floor oracle + error decomposition."""
+
+    def _run(self, argv, capsys):
+        import runpy
+        import sys as _sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        tool = os.path.join(repo, "tools", "dsm_diagnostics.py")
+        old = _sys.argv
+        _sys.argv = [tool] + argv
+        try:
+            runpy.run_path(tool, run_name="__main__")
+        finally:
+            _sys.argv = old
+        return capsys.readouterr().out
+
+    def test_oracle_floor_is_small_and_finite(self, trained_run, tmp_path,
+                                              capsys):
+        out = self._run(
+            ["oracle", "--root_dir", trained_run["data"],
+             "--gt_dir", trained_run["gt"], "--split", "val",
+             "--samples", "128", "--out_dir", str(tmp_path / "oracle")],
+            capsys)
+        assert "oracle chain floor" in out
+        mae = float(out.split("MAE")[1].split("m")[0])
+        # perfect depths through the real product chain on the tiny box
+        # scene: the floor is splat/raster noise, far below model error
+        assert np.isfinite(mae) and mae < 5.0
+
+    def test_errstruct_identity_is_zero(self, trained_run, capsys):
+        gt = os.path.join(trained_run["gt"], "SYN_000_DSM.tif")
+        out = self._run(["errstruct", "--pred", gt, "--gt", gt], capsys)
+        assert "raw MAE 0.000 m | bias +0.000 m" in out
+        assert "per-px: 0.000 m" in out
