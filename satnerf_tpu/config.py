@@ -75,6 +75,12 @@ class Config:
     # ("shuffle" = without-replacement per epoch, the reference DataLoader's
     #  semantics via a per-epoch on-device permutation; "replacement" is the
     #  default uniform i.i.d. draw — see docs/DESIGN.md "Batch sampling")
+    grad_accum: int = 1  # micro-batches per optimizer step: each step draws
+    # grad_accum batches of batch_size rays, averages their grads, and
+    # applies ONE update — effective batch = batch_size * grad_accum with
+    # the HBM footprint of batch_size (the backward caps at ~128k rays per
+    # launch; accumulation is the lever past that). Replacement sampling
+    # only; epochs count batch_size * grad_accum rays per step.
     eval_wire: str = "auto"  # auto | float16 | off — compress eval products
     # to f16 on-device before the device->host fetch (depth stays f32 for DSM
     # precision). "auto" = on when running on a real accelerator. The fetch
@@ -156,6 +162,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "on", "rays", "off"])
     p.add_argument("--sampling", type=str, default=d.sampling,
                    choices=["replacement", "shuffle"])
+    p.add_argument("--grad_accum", type=int, default=d.grad_accum)
     p.add_argument("--eval_wire", type=str, default=d.eval_wire,
                    choices=["auto", "float16", "off"])
     p.add_argument("--log_every_n_steps", type=int, default=d.log_every_n_steps)

@@ -205,7 +205,7 @@ def fit(cfg: Config) -> dict:
             print(f"wrote jax profiler trace to {cfg.profile_dir}")
 
         state, m = train_step(state, data, key)
-        rays_done += cfg.batch_size
+        rays_done += cfg.batch_size * cfg.grad_accum
 
         if main and (step_i + 1) % cfg.log_every_n_steps == 0:
             m = {k: float(v) for k, v in m.items()}

@@ -94,7 +94,10 @@ class NeRFSystem:
             local = [d for d in self.mesh.devices.flat
                      if d.process_index == jax.process_index()]
             self.eval_mesh = Mesh(np.array(local), self.mesh.axis_names)
-        self.spe = steps_per_epoch(dataset_len or cfg.batch_size, cfg.batch_size)
+        # epoch = one pass over the data at the EFFECTIVE batch
+        # (batch_size * grad_accum rays consumed per optimizer step)
+        self.spe = steps_per_epoch(dataset_len or cfg.batch_size,
+                                   cfg.batch_size * cfg.grad_accum)
         self.use_ts = cfg.model == "sat-nerf"
         self.depth = cfg.ds_lambda > 0
         self.ds_drop_step = int(round(cfg.ds_drop * cfg.max_train_steps))
@@ -628,6 +631,14 @@ class NeRFSystem:
         assert cfg.batch_size % n_dev == 0, (
             f"batch_size {cfg.batch_size} must divide across {n_dev} devices"
         )
+        accum = cfg.grad_accum
+        if accum < 1:
+            raise ValueError(f"grad_accum must be >= 1, got {accum}")
+        if accum > 1 and cfg.sampling == "shuffle":
+            raise ValueError(
+                "grad_accum > 1 requires --sampling replacement: the "
+                "epoch-permutation walk is defined per optimizer step, not "
+                "per micro-batch")
 
         spe = self.spe
         shuffle = cfg.sampling == "shuffle"
@@ -636,45 +647,82 @@ class NeRFSystem:
                        key):
             axis_idx = jax.lax.axis_index(DATA_AXIS)
             k = jax.random.fold_in(jax.random.fold_in(key, axis_idx), state.step)
-            k_idx, k_didx, k_loss = jax.random.split(k, 3)
-
             n_local = rays.shape[0]
-            if shuffle and perm is not None:
-                # without-replacement epoch semantics (reference DataLoader,
-                # main.py:96-117): walk a per-epoch device-resident
-                # permutation of the local shard; perm is refreshed at epoch
-                # boundaries by the loop (train/loop.py) from a per-epoch key
-                idx = perm[epoch_draw_positions(state.step, spe, b_local,
-                                                n_local)]
-            else:
-                idx = jax.random.randint(k_idx, (b_local,), 0, n_local)
-            b_rays = rays[idx]
-            b_rgbs = rgbs[idx]
-            b_ts = ts[idx] if ts is not None else None
 
-            bd_rays = bd_targets = bd_ts = None
-            if d_rays is not None:
-                nd_local = d_rays.shape[0]
-                didx = jax.random.randint(k_didx, (b_local,), 0, nd_local)
-                bd_rays = d_rays[didx]
-                bd_targets = d_depths[didx]
-                bd_ts = d_ts[didx]
+            def draw_and_grads(k_idx, k_didx, k_loss, idx_override=None):
+                """One micro-batch: draw b_local rays, return loss/metrics/
+                grads (the whole pre-existing single-batch body)."""
+                if idx_override is not None:
+                    idx = idx_override
+                else:
+                    idx = jax.random.randint(k_idx, (b_local,), 0, n_local)
+                b_rays = rays[idx]
+                b_rgbs = rgbs[idx]
+                b_ts = ts[idx] if ts is not None else None
 
-            if self._use_fused_train_loss:
-                (loss, metrics), grads = self._fused_loss_and_grads(
-                    state.params, b_rays, b_rgbs, b_ts, k_loss, state.step,
-                    bd_rays, bd_targets, bd_ts,
-                )
-            else:
+                bd_rays = bd_targets = bd_ts = None
+                if d_rays is not None:
+                    nd_local = d_rays.shape[0]
+                    didx = jax.random.randint(k_didx, (b_local,), 0, nd_local)
+                    bd_rays = d_rays[didx]
+                    bd_targets = d_depths[didx]
+                    bd_ts = d_ts[didx]
+
+                if self._use_fused_train_loss:
+                    return self._fused_loss_and_grads(
+                        state.params, b_rays, b_rgbs, b_ts, k_loss,
+                        state.step, bd_rays, bd_targets, bd_ts,
+                    )
+
                 def loss_fn(params):
                     return self._loss_and_metrics(
                         params, b_rays, b_rgbs, b_ts, k_loss, state.step,
                         bd_rays, bd_targets, bd_ts,
                     )
 
-                (loss, metrics), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True
-                )(state.params)
+                return jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+            if accum == 1:
+                # key schedule byte-identical to the pre-accumulation step:
+                # existing trajectories and resume determinism are preserved
+                k_idx, k_didx, k_loss = jax.random.split(k, 3)
+                if shuffle and perm is not None:
+                    # without-replacement epoch semantics (reference
+                    # DataLoader, main.py:96-117): walk a per-epoch
+                    # device-resident permutation of the local shard; perm is
+                    # refreshed at epoch boundaries by the loop
+                    # (train/loop.py) from a per-epoch key
+                    idx = perm[epoch_draw_positions(state.step, spe, b_local,
+                                                    n_local)]
+                else:
+                    idx = None
+                (loss, metrics), grads = draw_and_grads(k_idx, k_didx,
+                                                        k_loss, idx)
+            else:
+                # gradient accumulation: `accum` independent micro-batches,
+                # grads/metrics averaged, ONE optimizer update below. The
+                # first micro-batch seeds the scan carry (no zero-tree
+                # boilerplate); the rest run under lax.scan so the compiled
+                # graph holds one copy of the loss body.
+                ks = jax.random.split(k, accum)
+                (loss, metrics), grads = draw_and_grads(
+                    *jax.random.split(ks[0], 3))
+
+                def body(carry, k_m):
+                    c_loss, c_metrics, c_grads = carry
+                    (l_i, m_i), g_i = draw_and_grads(
+                        *jax.random.split(k_m, 3))
+                    add = lambda a, b: a + b
+                    return (c_loss + l_i,
+                            jax.tree_util.tree_map(add, c_metrics, m_i),
+                            jax.tree_util.tree_map(add, c_grads, g_i)), None
+
+                (loss, metrics, grads), _ = jax.lax.scan(
+                    body, (loss, metrics, grads), ks[1:])
+                inv = 1.0 / accum
+                loss = loss * inv
+                metrics = jax.tree_util.tree_map(lambda a: a * inv, metrics)
+                grads = jax.tree_util.tree_map(lambda a: a * inv, grads)
             grads = jax.lax.pmean(grads, DATA_AXIS)
             metrics = jax.lax.pmean(metrics, DATA_AXIS)
 
