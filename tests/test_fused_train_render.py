@@ -454,3 +454,56 @@ class TestFusedNerfLossGrads:
                 np.asarray(b) / scale, np.asarray(a) / scale, atol=1e-3,
                 err_msg=jax.tree_util.keystr(path),
             )
+
+
+class TestFusedUnderScan:
+    """--grad_accum wraps the single-kernel train body in a lax.scan; the
+    Pallas kernel must trace and run inside the scan (this is the exact
+    composition the TPU grad-accum path compiles)."""
+
+    def test_scan_accumulation_matches_separate_calls(self, rng,
+                                                      eight_devices):
+        from satnerf_tpu.config import Config
+        from satnerf_tpu.train.system import NeRFSystem
+
+        kw = dict(model="sat-nerf", batch_size=64, fc_units=F, fc_layers=L,
+                  n_samples=8, max_train_steps=100, noise_std=0.0)
+        sys_f = NeRFSystem(Config(fused="rays", **kw), dataset_len=512)
+        assert sys_f._use_fused_train_loss
+        params = sys_f.init_params(jax.random.PRNGKey(0))
+
+        n = 64
+        rays = rng.rand(n, 11).astype(np.float32)
+        rays[:, 3:6] /= np.linalg.norm(rays[:, 3:6], axis=1, keepdims=True)
+        rays[:, 6], rays[:, 7] = 0.0, 1.0
+        rays = jnp.array(rays)
+        rgbs = jnp.array(rng.rand(n, 3).astype(np.float32))
+        ts = jnp.array(rng.randint(0, 5, n).astype(np.int32))
+        step0 = jnp.asarray(0, jnp.int32)
+        keys = jax.random.split(jax.random.PRNGKey(7), 2)
+
+        def one(k):
+            (loss, _), grads = sys_f._fused_loss_and_grads(
+                params, rays, rgbs, ts, k, step0, None, None, None)
+            return loss, grads
+
+        with pltpu.force_tpu_interpret_mode():
+            l0, g0 = one(keys[0])
+            l1, g1 = one(keys[1])
+
+            def body(carry, k):
+                c_l, c_g = carry
+                l, g = one(k)
+                add = lambda a, b: a + b
+                return (c_l + l, jax.tree_util.tree_map(add, c_g, g)), None
+
+            (sl, sg), _ = jax.lax.scan(
+                body, (l0, g0), keys[1:])
+
+        np.testing.assert_allclose(float(sl) / 2,
+                                   (float(l0) + float(l1)) / 2, rtol=1e-6)
+        for a, b, c in zip(jax.tree_util.tree_leaves(sg),
+                           jax.tree_util.tree_leaves(g0),
+                           jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b + c),
+                                       rtol=1e-5, atol=1e-6)
