@@ -209,6 +209,20 @@ def fit(cfg: Config) -> dict:
 
         if main and (step_i + 1) % cfg.log_every_n_steps == 0:
             m = {k: float(v) for k, v in m.items()}
+            if not np.isfinite(m["loss"]):
+                # failure detection at the log boundary (the only place the
+                # loop fetches device scalars — a per-step check would add a
+                # tunnel RTT per step). The state is already poisoned, but an
+                # emergency dump preserves it for diagnosis; resume from the
+                # last periodic epoch checkpoint instead.
+                p = os.path.join(cfg.ckpts_dir, cfg.exp_name,
+                                 "nan-crash.ckpt")  # NOT epoch={n}: stays
+                # invisible to the eval CLI's epoch-glob resolution
+                save_checkpoint(p, state)
+                raise FloatingPointError(
+                    f"non-finite loss {m['loss']} at step {step_i + 1} "
+                    f"(lr {m['lr']:.3g}); poisoned state dumped to {p} — "
+                    f"resume from the last epoch={{n}}.ckpt")
             now = time.time()
             rps = rays_done / max(now - last_log, 1e-9)
             last_log, rays_done = now, 0

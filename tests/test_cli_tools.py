@@ -252,3 +252,43 @@ class TestDSMDiagnostics:
         out = self._run(["errstruct", "--pred", gt, "--gt", gt], capsys)
         assert "raw MAE 0.000 m | bias +0.000 m" in out
         assert "per-px: 0.000 m" in out
+
+
+class TestNanGuard:
+    """Non-finite loss at a log boundary must dump nan-crash.ckpt and raise
+    (failure detection: the loop's only device-scalar fetch point)."""
+
+    def test_nan_loss_raises_and_dumps(self, trained_run, tmp_path,
+                                       monkeypatch):
+        import jax.numpy as jnp
+
+        from satnerf_tpu.train.loop import fit
+        from satnerf_tpu.train.system import NeRFSystem
+
+        orig = NeRFSystem.make_train_step
+
+        def poisoned(self):
+            step = orig(self)
+
+            def s(state, data, key):
+                st, m = step(state, data, key)
+                m = dict(m)
+                m["loss"] = m["loss"] * jnp.float32(np.nan)
+                return st, m
+
+            return s
+
+        monkeypatch.setattr(NeRFSystem, "make_train_step", poisoned)
+        cfg = Config(
+            root_dir=trained_run["data"], gt_dir=trained_run["gt"],
+            model="sat-nerf", batch_size=128, fc_units=32, fc_layers=2,
+            n_samples=8, max_train_steps=6, log_every_n_steps=2,
+            save_every_n_epochs=999, val_every_n_epochs=9999,
+            num_sanity_val_steps=0, first_beta_epoch=999,
+            logs_dir=str(tmp_path / "logs"), ckpts_dir=str(tmp_path / "ck"),
+        )
+        cfg.stamp_exp_name()
+        with pytest.raises(FloatingPointError, match="non-finite loss"):
+            fit(cfg)
+        assert os.path.exists(
+            os.path.join(cfg.ckpts_dir, cfg.exp_name, "nan-crash.ckpt"))
