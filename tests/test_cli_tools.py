@@ -292,3 +292,58 @@ class TestNanGuard:
             fit(cfg)
         assert os.path.exists(
             os.path.join(cfg.ckpts_dir, cfg.exp_name, "nan-crash.ckpt"))
+
+
+class TestStudyScripts:
+    """The two study CLIs (reference study_depth_supervision.py /
+    study_solar_interpolation.py) driven end-to-end on the virtual mesh —
+    previously only exercised manually on the chip."""
+
+    def test_sun_interp_products(self, trained_run, tmp_path):
+        import glob
+        import importlib
+
+        study = importlib.import_module("study_solar_interpolation")
+        cfg = trained_run["cfg"]
+        epochs = sorted(
+            int(f.split("=")[1].split(".")[0])
+            for f in os.listdir(os.path.join(cfg.ckpts_dir, cfg.exp_name)))
+        study.sun_interp(
+            run_id=cfg.exp_name, logs_dir=cfg.logs_dir,
+            output_dir=str(tmp_path / "sun"), epoch_number=epochs[-1],
+            checkpoints_dir=cfg.ckpts_dir, root_dir=trained_run["data"],
+            gt_dir=trained_run["gt"], n_interp=2)
+        out = os.path.join(tmp_path, "sun", cfg.exp_name)
+        # per-sun renamed products + the hstacked summary sheets. The
+        # fixture writes one sun for every image, so both interpolation
+        # endpoints coincide and the two renamed tifs collapse to one
+        # angle-stamped name — presence, not count, is the contract here.
+        sun_tifs = glob.glob(os.path.join(out, "sun",
+                                          "*solar_incidence_angle*.tif"))
+        assert len(sun_tifs) >= 1, sorted(os.listdir(out))
+        for sheet in ("sun.png", "albedo.png", "rgb.png"):
+            assert os.path.exists(os.path.join(out, "summary", sheet)), sheet
+
+    def test_depth_study_init_dsms(self, tmp_path, eight_devices):
+        import glob
+        import importlib
+
+        from tests.fixtures import build_synthetic_dataset
+
+        root = str(tmp_path / "data")
+        build_synthetic_dataset(root, n_train=3, n_test=2, w=24, h=24,
+                                with_keypoints=True, n_kp=60)
+        cfg = Config(root_dir=root, model="sat-nerf", exp_name="ds_study",
+                     logs_dir=str(tmp_path / "logs"))
+        cfg.dump()
+
+        study = importlib.import_module("study_depth_supervision")
+        study.check_depth_supervision_points(
+            "ds_study", cfg.logs_dir, str(tmp_path / "out"), root_dir=root)
+        tifs = glob.glob(os.path.join(tmp_path, "out", "ds_study",
+                                      "init_dsm_depth_supervision_*.tif"))
+        assert len(tifs) == 3, tifs  # one per train view
+        from satnerf_tpu.geo.geotiff import read_geotiff
+
+        arr = read_geotiff(tifs[0]).data
+        assert np.isfinite(arr).any()
