@@ -7,9 +7,14 @@ random train/test splits.
 
 Differences from the reference forced by environment: sun angles and the
 acquisition date come from NITF tags of MSI files served over HTTP in the
-reference (create_satellite_dataset.py:88-117) — here they are read from a
-local `{img_id}.sun.json` sidecar, `--sun_meta` table, or default to a
-mid-latitude sun if unavailable (documented in the output json).
+reference (create_satellite_dataset.py:88-117) — here they are read, in
+priority order, from NITF-style GDAL metadata tags embedded in the image
+itself (NITF_USE00A_SUN_EL / _SUN_AZ / NITF_STDIDC_ACQUISITION_DATE), a
+local `{img_id}.sun.json` sidecar, a `--sun_meta` table, or default to a
+mid-latitude sun if unavailable (documented in the output json). The geojson
+footprint altitude comes from the lidar GT DSM median (`--ground_alt`
+overrides) instead of the reference's srtm4 web lookup
+(create_satellite_dataset.py:21-30).
 """
 
 from __future__ import annotations

@@ -8,11 +8,21 @@ s2p itself is an external C++/C stereo pipeline the reference also shells out
 to (eval_s2p.py:145); this wrapper keeps that contract. All the geo plumbing
 around it (UTM windows, fusion, registration, MAE) is in-house.
 
-Deliberate scope cut vs the reference: the PAN-band stereo variant
-(reference eval_s2p.py:103-114, which swaps the RGB crops for full-resolution
-panchromatic images fetched over vsicurl from the DFC2019 bucket) is NOT
-implemented — this environment has no network egress and the RGB path is the
-one the paper's tables use. Only the RGB crop path is supported here.
+Both of the reference's stereo-source variants are supported:
+
+- the RGB crop path (default), reading `{dfc_dir}/Track3-RGB[-crops]/{aoi}`;
+- the PAN-band path (reference eval_s2p.py:100-114): `--pan_dir` swaps each
+  pair's images for the full-resolution panchromatic frames, renaming
+  `...RGB...tif -> ...PAN...tif`. The flag takes either a local directory or
+  a GDAL-style remote prefix (`/vsicurl/http...`, `http...`) — the reference
+  hardcodes the DFC2019 bucket (`/vsicurl/http://138.231.80.166:2332/
+  grss-2019/track_3/Track3-MSI-{1,3}/`); pass it here explicitly. Remote
+  prefixes skip the local existence check, exactly as the reference does.
+
+Pair selection is random (`select_pairs`, reference eval_s2p.py:66-91) or
+driven by a heuristic-pairs file (`--heuristic_pairs_file`, reference
+eval_s2p.py:147-173): each line names two MSI products, matched to the RGB
+crops through the NITF_IID2 tag embedded in each GeoTIFF.
 """
 
 from __future__ import annotations
@@ -81,16 +91,72 @@ def select_pairs(root_dir: str, n_pairs: int = 1):
     return selected, n * (n - 1) // 2
 
 
+def load_heuristic_pairs(root_dir: str, img_dir: str,
+                         heuristic_pairs_file: str, n_pairs: int = 1):
+    """Pair selection from a heuristic ranking file (eval_s2p.py:147-173).
+
+    Each line of the file references two MSI products; an MSI id is the
+    basename's leading `-`-separated token. Crops are matched to MSI ids
+    through the NITF_IID2 tag embedded in each RGB GeoTIFF (the reference
+    reads it via rasterio `tags()`; here via our own GDAL-metadata parser).
+    """
+    from satnerf_tpu.geo.geotiff import read_geotiff
+
+    msi_id_to_rgb_id = {}
+    for p in sorted(glob.glob(os.path.join(img_dir, "*.tif"))):
+        tags = getattr(read_geotiff(p), "tags", None) or {}
+        iid2 = tags.get("NITF_IID2")
+        if iid2:
+            msi_id_to_rgb_id[iid2.split("-")[0]] = \
+                os.path.splitext(os.path.basename(p))[0]
+
+    selected = []
+    with open(heuristic_pairs_file) as f:
+        lines = [l for l in f.read().split("\n") if l.strip()]
+    for line in lines:
+        tok = line.split(" ")
+        ml = os.path.basename(tok[0]).split("-")[0]
+        mr = os.path.basename(tok[1]).split("-")[0]
+        if ml in msi_id_to_rgb_id and mr in msi_id_to_rgb_id:
+            selected.append(
+                (os.path.join(root_dir, f"{msi_id_to_rgb_id[ml]}.json"),
+                 os.path.join(root_dir, f"{msi_id_to_rgb_id[mr]}.json")))
+        if len(selected) >= n_pairs:
+            break
+    return selected
+
+
+def _is_remote(prefix: str) -> bool:
+    return prefix.startswith(("/vsicurl", "http://", "https://"))
+
+
+def _pan_image_path(pan_dir: str, rgb_name: str) -> str:
+    """RGB crop filename -> panchromatic source path (eval_s2p.py:103-112)."""
+    pan_name = os.path.basename(rgb_name).replace("RGB", "PAN")
+    if _is_remote(pan_dir):
+        return pan_dir.rstrip("/") + "/" + pan_name
+    return os.path.join(pan_dir, pan_name)
+
+
 def run_s2p(json_path_l: str, json_path_r: str, img_dir: str, out_dir: str,
-            resolution: float, prefix: str = "", aoi=None):
+            resolution: float, prefix: str = "", aoi=None,
+            pan_dir: str | None = None):
     data = []
     for p in (json_path_l, json_path_r):
         with open(p) as f:
             data.append(json.load(f))
+    if pan_dir:
+        img_paths = [_pan_image_path(pan_dir, d["img"]) for d in data]
+        if not _is_remote(pan_dir):
+            for ip in img_paths:
+                if not os.path.exists(ip):
+                    raise FileNotFoundError(f"Could not find {ip}")
+    else:
+        img_paths = [os.path.join(img_dir, d["img"]) for d in data]
     config = {
         "images": [
-            {"img": os.path.join(img_dir, data[0]["img"]), "rpc": data[0]["rpc"]},
-            {"img": os.path.join(img_dir, data[1]["img"]), "rpc": data[1]["rpc"]},
+            {"img": img_paths[0], "rpc": data[0]["rpc"]},
+            {"img": img_paths[1], "rpc": data[1]["rpc"]},
         ],
         "out_dir": ".",
         "dsm_resolution": resolution,
@@ -177,7 +243,9 @@ def project_cloud_into_utm_grid(xyz, bb, definition, mode: str = "med"):
 
 
 def eval_s2p(aoi_id: str, root_dir: str, dfc_dir: str, output_dir: str = ".",
-             n_pairs: int = 1, resolution: float = 0.5, crops: bool = False):
+             n_pairs: int = 1, resolution: float = 0.5, crops: bool = False,
+             pan_dir: str | None = None,
+             heuristic_pairs_file: str | None = None):
     from satnerf_tpu.eval.dsm_metrics import compute_mae_and_save_dsm_diff
     from satnerf_tpu.geo.geotiff import Affine, Profile, read_geotiff, write_geotiff
     from satnerf_tpu.ops.dsm_raster import raster_dsm
@@ -191,14 +259,19 @@ def eval_s2p(aoi_id: str, root_dir: str, dfc_dir: str, output_dir: str = ".",
     if crops:
         out_dir += "_crops"
 
-    selected, n_possible = select_pairs(root_dir, n_pairs=n_pairs)
-    print(f"{len(selected)} random pairs selected from {n_possible} possible")
+    if heuristic_pairs_file:
+        selected = load_heuristic_pairs(root_dir, img_dir,
+                                        heuristic_pairs_file, n_pairs=n_pairs)
+        print(f"{len(selected)} pairs selected from {heuristic_pairs_file}")
+    else:
+        selected, n_possible = select_pairs(root_dir, n_pairs=n_pairs)
+        print(f"{len(selected)} random pairs selected from {n_possible} possible")
     lonlat_aoi = read_DFC2019_lonlat_aoi(aoi_id, dfc_dir)
 
     for t, (jl, jr) in enumerate(selected):
         print(f"Running s2p ! Pair {t + 1} of {len(selected)}...")
         run_s2p(jl, jr, img_dir, out_dir, resolution, aoi=lonlat_aoi,
-                prefix=f"{t:02}_")
+                prefix=f"{t:02}_", pan_dir=pan_dir)
         print("...done")
 
     ply_paths = glob.glob(os.path.join(out_dir, "*/*/*/*/cloud.ply"))
@@ -246,6 +319,13 @@ def main():
     ap.add_argument("--n_pairs", type=int, default=1)
     ap.add_argument("--resolution", type=float, default=0.5)
     ap.add_argument("--crops", action="store_true")
+    ap.add_argument("--pan_dir", default=None,
+                    help="local dir or /vsicurl|http(s) prefix holding the "
+                         "full-resolution PAN frames; enables the PAN-band "
+                         "stereo variant (reference eval_s2p.py:100-114)")
+    ap.add_argument("--heuristic_pairs_file", default=None,
+                    help="select pairs from this ranking file instead of "
+                         "randomly (reference eval_s2p.py:147-173)")
     eval_s2p(**vars(ap.parse_args()))
 
 

@@ -119,3 +119,72 @@ class TestPairSelection:
             cfg = json.load(f)
         assert cfg["dsm_resolution"] == 0.5
         assert cfg["matching_algorithm"] == "mgm_multi"
+
+    def test_run_s2p_pan_band(self, tmp_path):
+        """--pan_dir swaps the stereo sources for PAN frames (RGB->PAN name
+        rewrite, remote prefixes skip the existence check) while keeping the
+        crop's RPC — reference eval_s2p.py:100-114 semantics."""
+        for i in range(2):
+            with open(tmp_path / f"im{i}.json", "w") as f:
+                json.dump({"img": f"JAX_068_{i:03d}_RGB.tif",
+                           "rpc": {"row_offset": float(i)}, "width": 10,
+                           "height": 10}, f)
+        out = str(tmp_path / "out_pan")
+        pan = "/vsicurl/http://example/track_3/Track3-MSI-1"
+        try:
+            s2p_mod.run_s2p(str(tmp_path / "im0.json"),
+                            str(tmp_path / "im1.json"),
+                            str(tmp_path), out, 0.5, pan_dir=pan)
+        except FileNotFoundError:
+            pass  # missing s2p binary
+        cfgs = [os.path.join(r, f) for r, _, fs in os.walk(out)
+                for f in fs if f == "config.json"]
+        assert cfgs
+        with open(cfgs[0]) as f:
+            cfg = json.load(f)
+        assert cfg["images"][0]["img"] == pan + "/JAX_068_000_PAN.tif"
+        assert cfg["images"][1]["img"] == pan + "/JAX_068_001_PAN.tif"
+        # RPCs stay the crop RPCs from the jsons, not the PAN frames'
+        assert cfg["images"][1]["rpc"] == {"row_offset": 1.0}
+
+    def test_run_s2p_pan_local_missing(self, tmp_path):
+        """A local --pan_dir keeps the reference's existence check."""
+        for i in range(2):
+            with open(tmp_path / f"im{i}.json", "w") as f:
+                json.dump({"img": f"im{i}_RGB.tif", "rpc": {}, "width": 4,
+                           "height": 4}, f)
+        with pytest.raises(FileNotFoundError):
+            s2p_mod.run_s2p(str(tmp_path / "im0.json"),
+                            str(tmp_path / "im1.json"), str(tmp_path),
+                            str(tmp_path / "o"), 0.5,
+                            pan_dir=str(tmp_path / "pan"))
+
+
+class TestHeuristicPairs:
+    def test_load_heuristic_pairs(self, tmp_path):
+        """MSI ids from the ranking file resolve to crop jsons through the
+        NITF_IID2 tag embedded in each RGB GeoTIFF (eval_s2p.py:147-173)."""
+        from satnerf_tpu.geo.geotiff import write_geotiff
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        msi_ids = ["18DEC15WV03A", "04OCT14WV03B", "22JAN16WV03C"]
+        for i, msi in enumerate(msi_ids):
+            write_geotiff(str(img_dir / f"JAX_068_{i:03d}_RGB.tif"),
+                          np.zeros((1, 4, 4), np.uint8),
+                          tags={"NITF_IID2": f"{msi}-P1BS-500648062010_01_P001"})
+            with open(tmp_path / f"JAX_068_{i:03d}_RGB.json", "w") as f:
+                json.dump({"img": f"JAX_068_{i:03d}_RGB.tif"}, f)
+        ranking = tmp_path / "pairs.txt"
+        ranking.write_text(
+            f"pan/{msi_ids[2]}-P1BS-x.tif pan/{msi_ids[0]}-P1BS-y.tif 0.91\n"
+            f"pan/{msi_ids[1]}-P1BS-x.tif pan/UNKNOWNMSI-P1BS-y.tif 0.88\n"
+            f"pan/{msi_ids[0]}-P1BS-x.tif pan/{msi_ids[1]}-P1BS-y.tif 0.85\n")
+        pairs = s2p_mod.load_heuristic_pairs(str(tmp_path), str(img_dir),
+                                             str(ranking), n_pairs=2)
+        assert len(pairs) == 2
+        # first line -> (img 2, img 0); second line skipped (unknown msi id)
+        assert pairs[0] == (str(tmp_path / "JAX_068_002_RGB.json"),
+                            str(tmp_path / "JAX_068_000_RGB.json"))
+        assert pairs[1] == (str(tmp_path / "JAX_068_000_RGB.json"),
+                            str(tmp_path / "JAX_068_001_RGB.json"))

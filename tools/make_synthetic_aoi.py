@@ -41,6 +41,11 @@ def main():
                     help="scale the terrain's deviation from the 10 m base "
                          "plane; with --alt_bounds terrain this sets the "
                          "z-bin width (geometry-anchor knob)")
+    ap.add_argument("--keypoints", type=int, default=0, metavar="N",
+                    help="embed N bundle-adjustment-style tie points "
+                         "(pts3d.npy + per-image keypoint jsons) so "
+                         "--ds_lambda training and the depth-supervision "
+                         "study run on this AOI")
     args = ap.parse_args()
 
     from fixtures import (AOI_LAT, AOI_LON, build_synthetic_dataset,
@@ -56,7 +61,9 @@ def main():
                             w=args.size, h=args.size,
                             view_spread=args.view_spread,
                             terrain=args.terrain, checker=args.checker,
-                            alt_bounds=args.alt_bounds, relief=args.relief)
+                            alt_bounds=args.alt_bounds, relief=args.relief,
+                            with_keypoints=args.keypoints > 0,
+                            n_kp=args.keypoints or 40)
 
     os.makedirs(gt_dir, exist_ok=True)
     lons = np.linspace(AOI_LON - 0.002, AOI_LON + 0.002, 400)
