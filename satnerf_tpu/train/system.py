@@ -844,7 +844,14 @@ class NeRFSystem:
                                          replicated(self.eval_mesh))
                 self._rehomed_params = (params, rehomed)
                 params = rehomed
-        # chunk must split evenly across the eval mesh's ray axis
+        # chunk must split evenly across the eval mesh's ray axis.
+        # Chunk-size note (measured, r3): bigger launches do NOT help this
+        # surface the way they help the raw render step — with the ~30 B/ray
+        # product fetch riding a ~12 MB/s tunnel link, 64k-ray chunks
+        # pipeline the fetch under later chunks' compute better than 256k
+        # ones (interleaved A/B at 1M rays: 232k vs 199k rays/s). On a
+        # PCIe-attached host the fetch is free and --chunk 262144 recovers
+        # the 417k serve rate (DESIGN.md "The eval product surface").
         chunk = -(-self.cfg.chunk // n_eval) * n_eval
         n = rays.shape[0]
         render_chunk = getattr(self, "_render_chunk", None)

@@ -38,9 +38,11 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Measured over seeds on one v5e (r3): 1.91 / 2.00 m — see docs/DESIGN.md
-# "Geometry anchor" for the ladder. Gate = mean + ~0.35 m, below
-# mean + 0.5 m: a half-meter geometry regression cannot pass.
+# Measured on one v5e (r3): seed 0 = 1.91 m (the seed this gate runs);
+# seeds 1/2 = 2.00 / 2.52 m — cross-seed spread is wider than the gate
+# margin, so this is a FIXED-SEED regression check: seed 0 at 1.91 + 0.39
+# headroom. A half-meter geometry regression cannot pass; see
+# docs/DESIGN.md "Geometry anchor" for the full experiment ladder.
 MAE_GATE_M = 2.3
 
 
