@@ -1,5 +1,7 @@
 #!/bin/bash
-# r3 TPU work queue — run after the tunnel recovers
+# r3 TPU work queue — EXECUTED after the tunnel recovered (all items green;
+# results folded into docs/DESIGN.md and STATUS.md). Kept as the rerun
+# recipe for these experiments.
 cd /root/repo
 echo "=== 0) quick chip sanity: default train bench (2 min)"
 BENCH_STEPS=10 timeout 900 python bench.py 2>/dev/null | tail -1
