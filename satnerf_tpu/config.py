@@ -68,7 +68,11 @@ class Config:
     # --- TPU-native additions (absent in the reference) ---
     seed: int = 0
     n_devices: int = 0  # 0 = all visible devices; rays are sharded across them
-    precision: str = "float32"  # float32 | bfloat16 (matmul inputs)
+    precision: str = "auto"  # auto | float32 | bfloat16 (matmul inputs).
+    # "auto" = bfloat16 on a real accelerator (measured loss-identical and
+    # ~4% faster — DESIGN.md "Precision split"; every headline number is
+    # bf16), float32 on CPU (where tests pin numerics against f32 oracles).
+    # Params/accumulation are f32 either way.
     fused: str = "auto"  # auto | on | rays | off — fused Pallas field kernel
     # ("rays" additionally moves the o+d*z sample expansion into the kernel)
     sampling: str = "replacement"  # replacement | shuffle — per-step ray draw
@@ -157,7 +161,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--n_devices", type=int, default=d.n_devices)
     p.add_argument("--precision", type=str, default=d.precision,
-                   choices=["float32", "bfloat16"])
+                   choices=["auto", "float32", "bfloat16"])
     p.add_argument("--fused", type=str, default=d.fused,
                    choices=["auto", "on", "rays", "off"])
     p.add_argument("--sampling", type=str, default=d.sampling,

@@ -6,14 +6,12 @@ from satnerf_tpu.eval.dsm_metrics import (
 from satnerf_tpu.eval.images import save_nerf_output_to_images, save_output_image
 from satnerf_tpu.eval.val_ts import (
     find_best_embedding_for_val_image,
-    find_best_embeddings_for_val_dataset,
     predefined_val_ts,
 )
 
 __all__ = [
     "compute_mae_and_save_dsm_diff",
     "dsm_mae",
-    "find_best_embeddings_for_val_dataset",
     "dsm_pointwise_diff",
     "save_nerf_output_to_images",
     "save_output_image",

@@ -28,25 +28,6 @@ def predefined_val_ts(img_id: str):
     return table.get(img_id, 0)
 
 
-def find_best_embeddings_for_val_dataset(val_dataset, system, params,
-                                         train_indices=None):
-    """Per-image embedding choice across a val dataset: predefined table for
-    the known AOIs, brute-force best-PSNR search otherwise
-    (eval_satnerf.py:166-184). Item 0 (the train probe) keeps index 0."""
-    indices = [0]
-    for i in range(1, len(val_dataset)):
-        sample = val_dataset.load_image(i)
-        src_id = sample["src_id"]
-        t = predefined_val_ts(src_id)
-        if t is None:
-            t = find_best_embedding_for_val_image(
-                system, params, sample["rays"], sample["rgbs"],
-                train_indices=train_indices,
-            )
-        indices.append(int(t))
-    return indices
-
-
 def find_best_embedding_for_val_image(system, params, rays, gt_rgbs,
                                       train_indices=None,
                                       max_rays: int = 4096) -> int:

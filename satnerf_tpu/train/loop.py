@@ -26,7 +26,10 @@ import numpy as np
 from satnerf_tpu.config import Config
 from satnerf_tpu.data import load_dataset
 from satnerf_tpu.eval.images import save_nerf_output_to_images
-from satnerf_tpu.eval.val_ts import predefined_val_ts
+from satnerf_tpu.eval.val_ts import (
+    find_best_embedding_for_val_image,
+    predefined_val_ts,
+)
 from satnerf_tpu.ops.ssim import psnr as psnr_np
 from satnerf_tpu.ops.ssim import ssim as ssim_np
 from satnerf_tpu.parallel.distributed import is_main, maybe_init_distributed
@@ -58,7 +61,24 @@ def validate(system: NeRFSystem, state, val_dataset, cfg: Config,
         if system.use_ts:
             t = predefined_val_ts(sample["src_id"])
             if t is None:
-                t = int(sample["ts"][0])
+                own = int(sample["ts"][0])
+                vocab = cfg.t_embbeding_vocab
+                n_train = min(getattr(val_dataset, "n_train", vocab) or vocab,
+                              vocab)
+                if own < n_train:
+                    # the val-probe train image: its own id IS a trained
+                    # embedding (datasets/satellite.py:127-133 keeps item 0
+                    # a train image)
+                    t = own
+                else:
+                    # unknown-AOI val image: its id (n_train + i) is outside
+                    # the embedding vocab — JAX would silently clamp the
+                    # gather to an arbitrary embedding. Search the train
+                    # embeddings for the best-PSNR surrogate instead,
+                    # matching eval.py (reference eval_satnerf.py:148-164).
+                    t = find_best_embedding_for_val_image(
+                        system, state.params, rays, rgbs,
+                        train_indices=range(n_train))
             ts = np.full(rays.shape[0], t, dtype=np.int32)
 
         results = system.render_image(state.params, rays, ts)

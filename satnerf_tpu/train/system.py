@@ -16,11 +16,13 @@ Parameters are replicated; rays are sharded (see parallel/mesh.py).
 Schedule parity with the reference:
   lr        : Adam 5e-4 * 0.9^epoch, epoch = step // (len // batch)
               (train_utils.py:41-57, main.py:81-94)
-  beta      : SNerfLoss until epoch >= first_beta_epoch, then SatNerfLoss
-              (main.py:128-131)
+  beta      : SNerfLoss until (step+1) // spe >= first_beta_epoch, then
+              SatNerfLoss (main.py:128-131; the reference's train_steps
+              counter is 1-based — incremented before the check)
   noise_std : noise_std0 * 0.9^step (main.py:132's per-step decay, expressed
               as a pure function of step)
-  depth     : added while step < round(ds_drop * max_steps) (main.py:38,139)
+  depth     : added while step + 1 < round(ds_drop * max_steps)
+              (main.py:38,139, 1-based counter)
 """
 
 from __future__ import annotations
@@ -102,8 +104,13 @@ class NeRFSystem:
         self.depth = cfg.ds_lambda > 0
         self.ds_drop_step = int(round(cfg.ds_drop * cfg.max_train_steps))
 
+        # "auto" resolves per backend: bf16 matmuls on a real accelerator
+        # (the configuration every headline number describes), f32 on CPU
+        use_bf16 = cfg.precision == "bfloat16" or (
+            cfg.precision == "auto" and jax.default_backend() != "cpu"
+        )
         compute_dtype = self.compute_dtype = (
-            jnp.bfloat16 if cfg.precision == "bfloat16" else jnp.float32
+            jnp.bfloat16 if use_bf16 else jnp.float32
         )
         self.models = {
             "coarse": build_model(cfg.model, cfg.fc_layers, cfg.fc_units,
@@ -425,7 +432,11 @@ class NeRFSystem:
         if cfg.model == "sat-nerf":
             loss_sat, _ = L.satnerf_loss(results, rgbs, cfg.sc_lambda)
             loss_warm, _ = L.snerf_loss(results, rgbs, cfg.sc_lambda)
-            epoch = step // self.spe
+            # the reference's step counter is incremented BEFORE the epoch
+            # check (main.py:120,128: train_steps is 1-based), so the beta
+            # loss switches on one step earlier than a 0-based epoch would —
+            # pinned by the executed-trajectory parity test
+            epoch = (step + 1) // self.spe
             use_beta = (epoch >= cfg.first_beta_epoch).astype(jnp.float32)
             loss = use_beta * loss_sat + (1.0 - use_beta) * loss_warm
         elif cfg.model == "s-nerf":
@@ -445,7 +456,8 @@ class NeRFSystem:
             kp_weights = 1.0 if cfg.ds_noweights else d_targets[:, 1]
             loss_depth, _ = L.depth_loss(d_results, kp_depths, kp_weights,
                                          cfg.ds_lambda)
-            active = (step < self.ds_drop_step).astype(jnp.float32)
+            # main.py:139 compares the 1-based train_steps counter
+            active = (step + 1 < self.ds_drop_step).astype(jnp.float32)
             loss = loss + active * loss_depth
             metrics["loss_depth"] = loss_depth
 
@@ -503,7 +515,8 @@ class NeRFSystem:
 
         sat = cfg.model == "sat-nerf"
         if sat:
-            epoch = step // self.spe
+            # 1-based counter, matching main.py:120,128 (see _loss_and_metrics)
+            epoch = (step + 1) // self.spe
             wmix = (epoch >= cfg.first_beta_epoch).astype(jnp.float32)
         else:
             wmix = jnp.zeros((), jnp.float32)
@@ -603,7 +616,8 @@ class NeRFSystem:
                 kp_d = d_targets[:, 0]
                 kp_w = 1.0 if cfg.ds_noweights else d_targets[:, 1]
                 ld, _ = L.depth_loss(d_res, kp_d, kp_w, cfg.ds_lambda)
-                active = (step < self.ds_drop_step).astype(jnp.float32)
+                # main.py:139 compares the 1-based train_steps counter
+                active = (step + 1 < self.ds_drop_step).astype(jnp.float32)
                 return active * ld, ld
 
             (aux_total, ld), aux_grads = jax.value_and_grad(

