@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from satnerf_tpu.render.composite import composite
-from satnerf_tpu.render.sampling import sample_pdf, stratified_zvals
+from satnerf_tpu.render.sampling import (merge_sorted_zvals, sample_pdf,
+                                         stratified_zvals)
 
 
 @dataclass(frozen=True)
@@ -127,7 +128,10 @@ def render_rays(models: dict, params: dict, rays, t_embed, key, cfg: RenderConfi
         z_fine = sample_pdf(k_pdf, z_mid, result["weights"][:, 1:-1],
                             cfg.n_importance, det=(cfg.perturb == 0))
         z_fine = jax.lax.stop_gradient(z_fine)
-        z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1), axis=-1)
+        # sorted union via rank merge — value-identical to the reference's
+        # sort-of-concat (rendering.py:129-131) but without a 72-wide
+        # per-ray sort (render/sampling.py:merge_sorted_zvals)
+        z_all = merge_sorted_zvals(z_vals, jnp.sort(z_fine, axis=-1))
 
         fine = _run_field(
             models["fine"], params["fine"], rays_o, rays_d,

@@ -33,6 +33,35 @@ def stratified_zvals(key, near, far, n_samples: int, perturb: float = 1.0,
     return z_vals
 
 
+def merge_sorted_zvals(z_vals, z_fine):
+    """Merge two per-ray ascending-sorted depth arrays into one sorted array.
+
+    Equivalent to ``jnp.sort(jnp.concatenate([z_vals, z_fine], -1), -1)``
+    (the reference's hierarchical-union idiom, rendering.py:129-131) when
+    both inputs are sorted along the last axis — but built from rank
+    computation (two broadcast-compare reductions) plus two scatters of
+    disjoint indices instead of XLA's O(S log^2 S) per-ray sorting network
+    over the 72-wide union, which is serve-path glue at 256k-ray launches
+    (docs/DESIGN.md "fine-serve dispatch"). Callers sort the small z_fine
+    (n_importance wide) first; ties break with z_vals elements preceding
+    equal z_fine elements, which leaves the merged *values* identical to
+    the sort either way.
+    """
+    sa, sb = z_vals.shape[-1], z_fine.shape[-1]
+    # stable-merge ranks: pos_a[j] = j + |{i : z_fine[i] <  z_vals[j]}|
+    #                     pos_b[i] = i + |{j : z_vals[j] <= z_fine[i]}|
+    # (disjoint by construction: a-elements precede equal b-elements)
+    ra = jnp.sum(z_fine[:, None, :] < z_vals[:, :, None], axis=2)
+    rb = jnp.sum(z_vals[:, None, :] <= z_fine[:, :, None], axis=2)
+    pos_a = ra + jnp.arange(sa, dtype=ra.dtype)
+    pos_b = rb + jnp.arange(sb, dtype=rb.dtype)
+    rows = jnp.arange(z_vals.shape[0])[:, None]
+    out = jnp.zeros(z_vals.shape[:-1] + (sa + sb,), z_vals.dtype)
+    out = out.at[rows, pos_a].set(z_vals, unique_indices=True)
+    out = out.at[rows, pos_b].set(z_fine, unique_indices=True)
+    return out
+
+
 def sample_pdf(key, bins, weights, n_importance: int, det: bool = False,
                eps: float = 1e-5):
     """Draw `n_importance` samples from the piecewise-constant PDF over `bins`.
@@ -55,14 +84,25 @@ def sample_pdf(key, bins, weights, n_importance: int, det: bool = False,
     else:
         u = jax.random.uniform(key, (n_rays, n_importance), dtype=bins.dtype)
 
-    inds = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(cdf, u)
-    below = jnp.clip(inds - 1, 0, m)
-    above = jnp.clip(inds, 0, m)
+    # TPU-shaped inverse CDF: `cdf` is nondecreasing, so the searchsorted
+    # mask {j : cdf[j] <= u} is a PREFIX along j — the reference's
+    # searchsorted + 4 gathers (rendering.py:30-38) reduce to masked max/min
+    # reductions over a broadcast compare, with bitwise-identical selections
+    # (this glue is on the serve critical path: tools/serve_nimp_probe.py
+    # measured the gather form at 0.22 s per 256k-ray launch).
+    mask = cdf[:, :, None] <= u[:, None, :]  # (N, M+1, n_importance)
+    inf = jnp.asarray(jnp.inf, bins.dtype)
 
-    cdf_lo = jnp.take_along_axis(cdf, below, axis=1)
-    cdf_hi = jnp.take_along_axis(cdf, above, axis=1)
-    bin_lo = jnp.take_along_axis(bins, below, axis=1)
-    bin_hi = jnp.take_along_axis(bins, above, axis=1)
+    def sel_lo(v):  # v[inds-1]: max over the true-prefix (v nondecreasing)
+        return jnp.max(jnp.where(mask, v[:, :, None], -inf), axis=1)
+
+    def sel_hi(v):  # v[clip(inds, 0, m)]: min over the false-suffix,
+        # falling back to v[-1] when the suffix is empty (u >= cdf[-1])
+        raw = jnp.min(jnp.where(mask, inf, v[:, :, None]), axis=1)
+        return jnp.where(jnp.isinf(raw), v[:, -1:], raw)
+
+    cdf_lo, cdf_hi = sel_lo(cdf), sel_hi(cdf)
+    bin_lo, bin_hi = sel_lo(bins), sel_hi(bins)
 
     denom = cdf_hi - cdf_lo
     denom = jnp.where(denom < eps, 1.0, denom)

@@ -300,7 +300,8 @@ class NeRFSystem:
         (reference eval_satnerf.py:95-146) are the identity."""
         from satnerf_tpu.ops.pallas.fused_mlp import fused_render_rays
         from satnerf_tpu.ops.pallas.fused_nerf import fused_nerf_render_rays
-        from satnerf_tpu.render.sampling import sample_pdf, stratified_zvals
+        from satnerf_tpu.render.sampling import (merge_sorted_zvals,
+                                                 sample_pdf, stratified_zvals)
 
         cfg = self.eval_render_cfg
         n_imp = cfg.n_importance
@@ -354,8 +355,9 @@ class NeRFSystem:
             z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
             z_fine = sample_pdf(k_pdf, z_mid, coarse["weights"][:, 1:-1],
                                 n_imp, det=(cfg.perturb == 0))
-            z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1),
-                             axis=-1)
+            # sorted union via an 8-wide sort + rank merge instead of a
+            # 72-wide per-ray sort — the serve-path glue lever (DESIGN.md)
+            z_all = merge_sorted_zvals(z_vals, jnp.sort(z_fine, axis=-1))
             fine = run(params["fine"], z_all, False)
             res.update(pack(fine, "fine", n))
         return res
@@ -550,13 +552,13 @@ class NeRFSystem:
             # the (stop-gradient) coarse weights, then the same single-kernel
             # loss+grads over the sorted union with the fine model
             # (rendering.py:118-156; the reference detaches the resampled z)
-            from satnerf_tpu.render.sampling import sample_pdf
+            from satnerf_tpu.render.sampling import (merge_sorted_zvals,
+                                                     sample_pdf)
 
             z_mid = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
             z_fine = sample_pdf(k_pdf, z_mid, w_coarse[:, 1:-1], n_imp,
                                 det=(rcfg.perturb == 0))
-            z_all = jnp.sort(jnp.concatenate([z_vals, z_fine], axis=-1),
-                             axis=-1)
+            z_all = merge_sorted_zvals(z_vals, jnp.sort(z_fine, axis=-1))
             noise_fine = None
             if noise_std is not None:
                 noise_fine = noise_std * jax.random.normal(

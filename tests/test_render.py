@@ -146,6 +146,62 @@ class TestSampling:
         ref = bins_g[..., 0] + (u - cdf_g[..., 0]) / denom * (bins_g[..., 1] - bins_g[..., 0])
         np.testing.assert_allclose(ours, ref.numpy(), atol=1e-5)
 
+    def test_sample_pdf_mask_selection_equals_gather(self, rng):
+        """The prefix-mask max/min selections must be bitwise equal to the
+        searchsorted+gather formulation, including zero-weight runs that
+        round to equal cdf values."""
+        n, m, ni = 32, 31, 8
+        bins = np.sort(rng.rand(n, m + 1).astype(np.float32), -1)
+        w = rng.rand(n, m).astype(np.float32)
+        w[:, 5:20] = 0.0  # long near-flat cdf run
+        w[::3, :] = 0.0   # fully uniform fallback rows
+        for det, key in ((True, 0), (False, 1), (False, 2)):
+            ours = np.asarray(sample_pdf(jax.random.PRNGKey(key),
+                                         jnp.array(bins), jnp.array(w), ni,
+                                         det=det))
+            # gather oracle on the IDENTICAL f32 cdf/u (built with the same
+            # jnp ops as the implementation; only the selection differs)
+            eps = 1e-5
+            wn = jnp.array(w) + eps
+            pdf = wn / jnp.sum(wn, axis=-1, keepdims=True)
+            cdf = np.concatenate(
+                [np.zeros((n, 1), np.float32),
+                 np.asarray(jnp.cumsum(pdf, -1))], -1)
+            if det:
+                u = np.broadcast_to(
+                    np.asarray(jnp.linspace(0.0, 1.0, ni)), (n, ni))
+            else:
+                u = np.asarray(jax.random.uniform(jax.random.PRNGKey(key),
+                                                  (n, ni)))
+            inds = np.stack([np.searchsorted(cdf[i], u[i], side="right")
+                             for i in range(n)])
+            below = np.clip(inds - 1, 0, m)
+            above = np.clip(inds, 0, m)
+            take = np.take_along_axis
+            denom = take(cdf, above, 1) - take(cdf, below, 1)
+            denom = np.where(denom < eps, np.float32(1.0), denom)
+            ref = (take(bins, below, 1)
+                   + (u - take(cdf, below, 1)).astype(np.float32) / denom
+                   * (take(bins, above, 1) - take(bins, below, 1)))
+            np.testing.assert_array_equal(ours, ref.astype(np.float32))
+
+    def test_merge_sorted_zvals_equals_sort(self, rng):
+        """The rank merge must equal the reference's sort-of-union idiom
+        (rendering.py:129-131) bit for bit, including ties."""
+        from satnerf_tpu.render.sampling import merge_sorted_zvals
+
+        n, sa, sb = 64, 24, 8
+        a = np.sort(rng.rand(n, sa).astype(np.float32), -1)
+        b = np.sort(rng.rand(n, sb).astype(np.float32), -1)
+        # force exact ties (a-vs-b and within-b duplicates)
+        b[:, 2] = a[:, 5]
+        b[:, 3] = a[:, 5]
+        a[:, 10] = a[:, 11]
+        b = np.sort(b, -1)
+        merged = np.asarray(merge_sorted_zvals(jnp.array(a), jnp.array(b)))
+        ref = np.sort(np.concatenate([a, b], -1), -1)
+        np.testing.assert_array_equal(merged, ref)
+
 
 class TestRenderRays:
     @pytest.mark.parametrize("variant,nchan", [("nerf", 0), ("s-nerf", 0), ("sat-nerf", 1)])
