@@ -105,7 +105,7 @@ def _ref_args(cfg):
 
 
 def train_reference_torch(cfg, rays, rgbs, ts, seed: int = 0,
-                          log_every: int = 50):
+                          log_every: int = 50, depth=None):
     """The reference's executed training loop on a device-free ray tensor.
 
     Faithful to main.py's semantics:
@@ -117,6 +117,12 @@ def train_reference_torch(cfg, rays, rgbs, ts, seed: int = 0,
         train_steps // (N // B) < 2 (main.py:128-131, the floor-division
         epoch counter of train_utils.py:14-15)
       - `args.noise_std *= 0.9` per step (main.py:132)
+      - depth supervision (`depth=(d_rays, d_depths, d_ts)`, cfg.ds_lambda>0):
+        a second forward on a keypoint-ray batch from an independently
+        shuffled, cycled loader; the reference's executed `DepthLoss`
+        (metrics.py:75-92) with weights unless ds_noweights, ADDED only
+        while train_steps < round(ds_drop * max_train_steps)
+        (main.py:34-38,134-142 — the forward still runs after the drop)
       - StepLR(gamma=0.9) stepped once per DataLoader pass
         (pl 'interval': 'epoch' — main.py:86-94)
 
@@ -153,6 +159,30 @@ def train_reference_torch(cfg, rays, rgbs, ts, seed: int = 0,
     t_rgbs = torch.from_numpy(np.asarray(rgbs, np.float32))
     t_ts = torch.from_numpy(np.asarray(ts, np.int64)) if use_ts else None
 
+    # depth supervision: the reference's DepthLoss over keypoint rays from a
+    # second shuffled DataLoader cycled alongside the color one
+    # (main.py:34-38,96-109,134-142)
+    depth_loss = None
+    if depth is not None and cfg.ds_lambda > 0:
+        d_rays, d_depths, d_ts = depth
+        depth_loss = ref.metrics.DepthLoss(lambda_ds=cfg.ds_lambda)
+        ds_drop = np.round(cfg.ds_drop * cfg.max_train_steps)  # main.py:38
+        td_rays = torch.from_numpy(np.asarray(d_rays, np.float32))
+        td_depths = torch.from_numpy(np.asarray(d_depths, np.float32))
+        td_ts = (torch.from_numpy(np.asarray(d_ts, np.int64))
+                 if use_ts else None)
+        nd = td_rays.shape[0]
+        d_rng = np.random.RandomState(seed + 1)
+        d_perm, d_lo = d_rng.permutation(nd), 0
+
+        def next_depth_batch():
+            nonlocal d_perm, d_lo
+            if d_lo >= nd:  # cycled shuffled loader
+                d_perm, d_lo = d_rng.permutation(nd), 0
+            idx = d_perm[d_lo:d_lo + b]
+            d_lo += b
+            return idx
+
     losses, lrs = [], []
     train_steps = 0
     t0 = time.time()
@@ -173,6 +203,18 @@ def train_reference_torch(cfg, rays, rgbs, ts, seed: int = 0,
             else:
                 loss, _ = loss_fn(results, batch_rgbs)
             args.noise_std *= 0.9
+            if depth_loss is not None:  # main.py:134-142 ordering: after
+                # the noise decay; forward every step, added until ds_drop
+                didx = next_depth_batch()
+                d_res = ref.rendering.render_rays(
+                    tmodels, args, td_rays[didx],
+                    td_ts[didx] if use_ts else None)
+                kp_depths = td_depths[didx, 0]
+                kp_weights = (1. if cfg.ds_noweights
+                              else td_depths[didx, 1])
+                loss_depth, _ = depth_loss(d_res, kp_depths, kp_weights)
+                if train_steps < ds_drop:
+                    loss = loss + loss_depth
             lrs.append(opt.param_groups[0]["lr"])
             opt.zero_grad()
             loss.backward()
@@ -227,6 +269,13 @@ def _build_parser():
     ap.add_argument("--max_train_steps", type=int, default=960)
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--sc_lambda", type=float, default=0.05)
+    ap.add_argument("--ds_lambda", type=float, default=0.0,
+                    help="depth-supervision weight; >0 trains BOTH stacks "
+                         "with the reference's DepthLoss dynamics "
+                         "(/root/reference/main.py:134-142) on the AOI's "
+                         "keypoint rays (make_synthetic_aoi --keypoints)")
+    ap.add_argument("--ds_drop", type=float, default=0.25)
+    ap.add_argument("--ds_noweights", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--compare", action="store_true",
                     help="also train OUR system at the same config and "
@@ -260,7 +309,8 @@ def _configs(args):
         model=args.model, fc_units=args.fc_units, fc_layers=args.fc_layers,
         n_samples=args.n_samples, n_importance=args.n_importance,
         batch_size=args.batch_size, max_train_steps=args.max_train_steps,
-        lr=args.lr, sc_lambda=args.sc_lambda, noise_std=0.0,
+        lr=args.lr, sc_lambda=args.sc_lambda, ds_lambda=args.ds_lambda,
+        ds_drop=args.ds_drop, ds_noweights=args.ds_noweights, noise_std=0.0,
         root_dir=os.path.join(args.aoi_dir, "data"),
         gt_dir=os.path.join(args.aoi_dir, "gt"),
         cache_dir=os.path.join(args.aoi_dir, "cache"),
@@ -293,7 +343,11 @@ def _child(args, extra):
                    "--batch_size", str(args.batch_size),
                    "--max_train_steps", str(args.max_train_steps),
                    "--lr", str(args.lr), "--sc_lambda", str(args.sc_lambda),
+                   "--ds_lambda", str(args.ds_lambda),
+                   "--ds_drop", str(args.ds_drop),
                    "--seed", str(args.seed), "--fused", args.fused]
+    if args.ds_noweights:
+        passthrough.append("--ds_noweights")
     cmd += passthrough + extra
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     t0 = time.time()
@@ -347,9 +401,19 @@ def main(argv=None):
     if os.path.exists(t_ckpt):
         print(f"[torch-ref] reusing completed phase: {t_ckpt}")
     else:
+        depth = None
+        if args.ds_lambda > 0:
+            from satnerf_tpu.data.satellite_depth import SatelliteDepthScene
+
+            dscene = SatelliteDepthScene(tcfg.root_dir, split="train",
+                                         cache_dir=tcfg.cache_dir)
+            depth = (dscene.all_rays, dscene.all_depths, dscene.all_ids)
+            print(f"depth supervision: {dscene.all_rays.shape[0]} keypoint "
+                  f"rays, lambda {args.ds_lambda}, drop at "
+                  f"{np.round(args.ds_drop * args.max_train_steps):.0f}")
         tmodels, tlosses, _ = train_reference_torch(
             tcfg, scene.all_rays, scene.all_rgbs, scene.all_ids,
-            seed=args.seed)
+            seed=args.seed, depth=depth)
         ckpt = save_reference_run(tcfg, tmodels, workdir, "torch_ref",
                                   t_epoch)
         print(f"[torch-ref] final loss {tlosses[-1]:.5f}; checkpoint {ckpt}")
