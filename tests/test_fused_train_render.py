@@ -256,6 +256,60 @@ class TestFusedLossGrads:
                     err_msg=f"step {step}: {jax.tree_util.keystr(path)}",
                 )
 
+    @pytest.mark.parametrize("layers,feat", [(6, 96), (4, 64), (10, 40)])
+    def test_exotic_shapes_match_value_and_grad(self, rng, eight_devices,
+                                                layers, feat):
+        """Non-default network shapes through the single-kernel train step.
+
+        The kernels are parametric in (fc_layers, fc_units) — including
+        fc_layers <= skip, where the reference's skip-concat at layer 4
+        (models/nerf.py:160-166 semantics) simply never fires, and
+        fc_layers > 8. Verified on real Mosaic too (r4 chip probe: forward
+        kernels at 6x96 / 10x256 / 4x64 match the flax field, and the train
+        kernel compiles + runs at 6x96 / 4x64)."""
+        from satnerf_tpu.config import Config
+        from satnerf_tpu.train.system import NeRFSystem
+
+        kw = dict(model="sat-nerf", batch_size=64, fc_units=feat,
+                  fc_layers=layers, n_samples=8, max_train_steps=100,
+                  sc_lambda=0.0, noise_std=0.0)
+        sys_f = NeRFSystem(Config(fused="rays", **kw), dataset_len=512)
+        sys_o = NeRFSystem(Config(fused="off", **kw), dataset_len=512)
+        assert sys_f._use_fused_train_loss
+        params = sys_o.init_params(jax.random.PRNGKey(0))
+
+        n = 64
+        rays = rng.rand(n, 11).astype(np.float32)
+        rays[:, 3:6] /= np.linalg.norm(rays[:, 3:6], axis=1, keepdims=True)
+        rays[:, 6], rays[:, 7] = 0.0, 1.0
+        rays = jnp.array(rays)
+        rgbs = jnp.array(rng.rand(n, 3).astype(np.float32))
+        ts = jnp.array(rng.randint(0, 5, n).astype(np.int32))
+        key = jax.random.PRNGKey(3)
+        st = jnp.asarray(50, jnp.int32)
+
+        def f(p):
+            return sys_o._loss_and_metrics(p, rays, rgbs, ts, key, st,
+                                           None, None, None)
+
+        (l_o, m_o), g_o = jax.value_and_grad(f, has_aux=True)(params)
+        with pltpu.force_tpu_interpret_mode():
+            (l_f, m_f), g_f = sys_f._fused_loss_and_grads(
+                params, rays, rgbs, ts, key, st, None, None, None)
+
+        np.testing.assert_allclose(float(l_f), float(l_o), atol=1e-4)
+        assert (jax.tree_util.tree_structure(g_o)
+                == jax.tree_util.tree_structure(g_f))
+        for (path, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(g_o),
+            jax.tree_util.tree_leaves(g_f),
+        ):
+            scale = max(float(jnp.abs(a).max()), 1e-6)
+            np.testing.assert_allclose(
+                np.asarray(b) / scale, np.asarray(a) / scale, atol=1e-3,
+                err_msg=f"{layers}x{feat}: {jax.tree_util.keystr(path)}",
+            )
+
     @pytest.mark.parametrize("variant", ["sat-nerf", "s-nerf"])
     def test_hierarchical_matches_value_and_grad(self, rng, eight_devices,
                                                  variant):
