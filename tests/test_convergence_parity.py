@@ -44,12 +44,13 @@ CONVERGED_BAND = {"psnr": 1.5, "ssim": 0.05, "mae": 1.5}
 SMOKE_BAND = {"psnr": 1.5, "ssim": 0.08, "mae": 2.5}
 
 
-def _run_harness(tmp_path, extra):
+def _run_harness(tmp_path, extra, keypoints=0):
     aoi = str(tmp_path / "aoi")
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "make_synthetic_aoi.py"),
-         aoi, "--size", "32", "--n_train", "3", "--n_test", "1"],
+         aoi, "--size", "32", "--n_train", "3", "--n_test", "1",
+         "--keypoints", str(keypoints)],
         check=True, cwd=REPO, env=env, timeout=600)
     work = str(tmp_path / "work")
     proc = subprocess.run(
@@ -79,15 +80,38 @@ def test_convergence_smoke(tmp_path):
     _assert_band(report, SMOKE_BAND)
 
 
+def test_convergence_smoke_depth_hierarchical(tmp_path):
+    """The same chain with the reference's DepthLoss dynamics
+    (main.py:134-142) AND the hierarchical fine model (rendering.py:118-156)
+    active in both stacks — the two loss/render paths the base smoke does
+    not execute."""
+    # sc_lambda must be 0: the reference's sat-nerf fine branch with solar
+    # correction overwrites its accumulated output dict (rendering.py:146
+    # rebinds result_), dropping every *_coarse key and crashing its own
+    # loss — a reference bug in the same family as the rays_d_ NameError
+    # (SURVEY.md §5); the combination is unexecutable in the reference.
+    report = _run_harness(tmp_path, [
+        "--fc_units", "32", "--fc_layers", "4", "--n_samples", "8",
+        "--batch_size", "256", "--max_train_steps", "120", "--sc_lambda",
+        "0", "--ds_lambda", "1000", "--n_importance", "4"], keypoints=100)
+    _assert_band(report, SMOKE_BAND)
+
+
 def test_convergence_report():
-    """The committed converged-run report must exist and sit in the band."""
-    assert os.path.exists(REPORT), (
+    """Every committed converged-run report must exist and sit in the band
+    (CONVERGENCE_r04.json = base config; *_DS / *_NIMP = depth-supervised
+    and hierarchical configs)."""
+    import glob
+
+    reports = sorted(glob.glob(os.path.join(REPO, "CONVERGENCE_*.json")))
+    assert REPORT in reports, (
         "CONVERGENCE_r04.json missing — regenerate with the command in "
         "tools/train_reference_torch.py's docstring")
-    with open(REPORT) as f:
-        report = json.load(f)
-    assert report["steps"] >= 3000
-    _assert_band(report, CONVERGED_BAND)
+    for path in reports:
+        with open(path) as f:
+            report = json.load(f)
+        assert report["steps"] >= 3000, path
+        _assert_band(report, CONVERGED_BAND)
 
 
 @pytest.mark.skipif(os.environ.get("SATNERF_CONVERGENCE") != "1",

@@ -130,6 +130,22 @@ def train_reference_torch(cfg, rays, rgbs, ts, seed: int = 0,
     """
     import torch
 
+    if cfg.n_importance > 0 and cfg.model in ("s-nerf", "sat-nerf"):
+        # the reference cannot execute these combinations (SURVEY.md §5):
+        # s-nerf fine uses the undefined rays_d_ (rendering.py:134), and the
+        # sat-nerf fine sc pass rebinds result_ (rendering.py:146), dropping
+        # every *_coarse key before its own loss reads them
+        if cfg.model == "s-nerf":
+            raise ValueError(
+                "reference bug: s-nerf + n_importance crashes in "
+                "/root/reference/rendering.py:134 (undefined rays_d_)")
+        if cfg.sc_lambda > 0:
+            raise ValueError(
+                "reference bug: sat-nerf + sc_lambda + n_importance crashes "
+                "in /root/reference/rendering.py:146 (result_ rebound to the "
+                "fine sun pass, *_coarse keys lost); use --sc_lambda 0 for "
+                "hierarchical parity runs")
+
     ref = load_reference()
     torch.manual_seed(seed)
     args = _ref_args(cfg)
