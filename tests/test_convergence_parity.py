@@ -85,15 +85,20 @@ def test_convergence_smoke_depth_hierarchical(tmp_path):
     (main.py:134-142) AND the hierarchical fine model (rendering.py:118-156)
     active in both stacks — the two loss/render paths the base smoke does
     not execute."""
-    # sc_lambda must be 0: the reference's sat-nerf fine branch with solar
-    # correction overwrites its accumulated output dict (rendering.py:146
-    # rebinds result_), dropping every *_coarse key and crashing its own
-    # loss — a reference bug in the same family as the rays_d_ NameError
-    # (SURVEY.md §5); the combination is unexecutable in the reference.
+    # --model nerf is the ONLY variant whose hierarchical branch the
+    # reference can execute (SURVEY.md §5): s-nerf + n_importance crashes on
+    # the undefined rays_d_ (rendering.py:134), sat-nerf + sc + n_importance
+    # rebinds result_ (rendering.py:146), and sat-nerf + n_importance
+    # crashes in its own loss the moment the 2-epoch beta warm-up ends —
+    # metrics.py:22 composites the (n_samples+n_importance)-wide
+    # weights_fine against the n_samples-wide beta_coarse.
+    # train_reference_torch.py guards all three; NerfLoss + DepthLoss +
+    # fine model exercise the depth + hierarchical dynamics end to end.
     report = _run_harness(tmp_path, [
-        "--fc_units", "32", "--fc_layers", "4", "--n_samples", "8",
-        "--batch_size", "256", "--max_train_steps", "120", "--sc_lambda",
-        "0", "--ds_lambda", "1000", "--n_importance", "4"], keypoints=100)
+        "--model", "nerf", "--fc_units", "32", "--fc_layers", "4",
+        "--n_samples", "8", "--batch_size", "256", "--max_train_steps",
+        "120", "--sc_lambda", "0", "--ds_lambda", "1000",
+        "--n_importance", "4"], keypoints=100)
     _assert_band(report, SMOKE_BAND)
 
 

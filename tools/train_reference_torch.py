@@ -132,9 +132,13 @@ def train_reference_torch(cfg, rays, rgbs, ts, seed: int = 0,
 
     if cfg.n_importance > 0 and cfg.model in ("s-nerf", "sat-nerf"):
         # the reference cannot execute these combinations (SURVEY.md §5):
-        # s-nerf fine uses the undefined rays_d_ (rendering.py:134), and the
+        # s-nerf fine uses the undefined rays_d_ (rendering.py:134); the
         # sat-nerf fine sc pass rebinds result_ (rendering.py:146), dropping
-        # every *_coarse key before its own loss reads them
+        # every *_coarse key before its own loss reads them; and SatNerfLoss
+        # itself composites the fine branch's (n_samples+n_importance)-wide
+        # weights_fine against the n_samples-wide per-sample beta_coarse
+        # (metrics.py:22) — a shape crash the moment the 2-epoch beta
+        # warm-up ends
         if cfg.model == "s-nerf":
             raise ValueError(
                 "reference bug: s-nerf + n_importance crashes in "
@@ -143,8 +147,18 @@ def train_reference_torch(cfg, rays, rgbs, ts, seed: int = 0,
             raise ValueError(
                 "reference bug: sat-nerf + sc_lambda + n_importance crashes "
                 "in /root/reference/rendering.py:146 (result_ rebound to the "
-                "fine sun pass, *_coarse keys lost); use --sc_lambda 0 for "
-                "hierarchical parity runs")
+                "fine sun pass, *_coarse keys lost)")
+        spe_guard = max(rays.shape[0] // cfg.batch_size, 1)
+        if cfg.max_train_steps >= 2 * spe_guard:
+            raise ValueError(
+                "reference bug: sat-nerf + n_importance crashes in "
+                "/root/reference/metrics.py:22 once beta activates (after "
+                "the 2-epoch warm-up, main.py:128-131): weights_fine is "
+                f"{cfg.n_samples + cfg.n_importance}-wide but beta_coarse "
+                f"is {cfg.n_samples}-wide per sample. This run would cross "
+                f"the warm-up at step {2 * spe_guard} of "
+                f"{cfg.max_train_steps}; use --model nerf for hierarchical "
+                "parity runs")
 
     ref = load_reference()
     torch.manual_seed(seed)
