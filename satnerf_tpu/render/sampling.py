@@ -47,6 +47,10 @@ def merge_sorted_zvals(z_vals, z_fine):
     equal z_fine elements, which leaves the merged *values* identical to
     the sort either way.
     """
+    assert z_vals.ndim == 2 and z_fine.ndim == 2, (
+        "merge_sorted_zvals is written for (N_rays, S) inputs — the rank "
+        "broadcasts and row scatters below index leading dims rank-2 style; "
+        f"got {z_vals.shape} / {z_fine.shape}")
     sa, sb = z_vals.shape[-1], z_fine.shape[-1]
     # stable-merge ranks: pos_a[j] = j + |{i : z_fine[i] <  z_vals[j]}|
     #                     pos_b[i] = i + |{j : z_vals[j] <= z_fine[i]}|
@@ -71,6 +75,13 @@ def sample_pdf(key, bins, weights, n_importance: int, det: bool = False,
       weights: (N_rays, M)
     Returns samples (N_rays, n_importance). Gradients are stopped by the
     caller (the reference .detach()es the result).
+
+    Scaling note: the prefix-mask selection below materializes an
+    O(N_rays * (M+1) * n_importance) broadcast compare. At the benchmarked
+    shapes (M=64, n_importance<=16) XLA fuses it and it beats the
+    searchsorted+gather form on TPU; at M in the hundreds, or on the
+    CPU/virtual-mesh backend, the intermediate can regress memory/time —
+    prefer chunking the ray axis there rather than growing M.
     """
     n_rays, m = weights.shape
     weights = weights + eps

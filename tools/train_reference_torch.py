@@ -391,6 +391,39 @@ def _metrics_path(workdir, run_id):
     return os.path.join(workdir, "eval", f"{run_id}_metrics.json")
 
 
+def _stamp_config(workdir, args):
+    """Phase-skip is keyed on on-disk products at epoch={t_epoch}; a rerun
+    into the same workdir with changed hyperparameters that keep the same
+    step count (lr, sc_lambda, ds_lambda, fc_units, ...) would silently mix
+    stale and fresh phases. Stamp the full CLI config; on mismatch, drop
+    every phase product so all phases rerun fresh (ADVICE r4)."""
+    import shutil
+
+    cfg = {k: v for k, v in sorted(vars(args).items())
+           if not k.startswith("_") and k not in ("workdir", "cpu_mesh",
+                                                  "cpu_devices")}
+    stamp_path = os.path.join(workdir, "harness_config.json")
+    if os.path.exists(stamp_path):
+        with open(stamp_path) as f:
+            old = json.load(f)
+        if old != cfg:
+            changed = sorted(set(old) ^ set(cfg)
+                             | {k for k in set(old) & set(cfg)
+                                if old[k] != cfg[k]})
+            print(f"[harness] config changed ({', '.join(changed)}); "
+                  f"invalidating completed phases in {workdir}")
+            for sub in ("ckpts", "logs", "eval"):
+                shutil.rmtree(os.path.join(workdir, sub), ignore_errors=True)
+            for leftover in ("convergence_report.json",):
+                try:
+                    os.remove(os.path.join(workdir, leftover))
+                except OSError:
+                    pass
+    os.makedirs(workdir, exist_ok=True)
+    with open(stamp_path, "w") as f:
+        json.dump(cfg, f, indent=2, sort_keys=True)
+
+
 def main(argv=None):
     args = _build_parser().parse_args(argv)
     tcfg, ocfg, common = _configs(args)
@@ -416,7 +449,9 @@ def main(argv=None):
     # rerun — their on-disk products (checkpoint / metrics json) ARE the
     # phase state, so a crash in a later phase (e.g. the XLA CPU collective
     # rendezvous aborting under host contention) never costs the ~16-min
-    # torch phase again.
+    # torch phase again. _stamp_config guards the skip against hyperparameter
+    # changes that keep the same step count.
+    _stamp_config(workdir, args)
     from satnerf_tpu.data import SatelliteScene
 
     scene = SatelliteScene(tcfg.root_dir, split="train",
