@@ -60,6 +60,68 @@ def smooth_height_field(lon, lat):
 
 HEIGHT_FIELDS = {"box": height_field, "smooth": smooth_height_field}
 
+M_PER_DEG_LAT = 111_320.0  # WGS84 meridian arc at this scale; fixture-local
+
+
+def sun_vector(el_deg: float, az_deg: float) -> np.ndarray:
+    """Unit vector TOWARD the sun in the local ENU frame (x=east, y=north,
+    z=up) — the same convention the data pipeline's sun_direction uses
+    (reference datasets/satellite.py:239-241)."""
+    el, az = np.radians(el_deg), np.radians(az_deg)
+    return np.array([np.sin(az) * np.cos(el), np.cos(az) * np.cos(el),
+                     np.sin(el)])
+
+
+def surface_normal(hf, lon, lat, delta_deg: float = 2e-6):
+    """Unit upward surface normal of the height field, from central
+    differences converted to meters (ENU components)."""
+    m_lon = M_PER_DEG_LAT * np.cos(np.radians(AOI_LAT))
+    dz_de = (hf(lon + delta_deg, lat) - hf(lon - delta_deg, lat)) / (
+        2 * delta_deg * m_lon)
+    dz_dn = (hf(lon, lat + delta_deg) - hf(lon, lat - delta_deg)) / (
+        2 * delta_deg * M_PER_DEG_LAT)
+    n = np.stack([-dz_de, -dz_dn, np.ones_like(dz_de)], axis=0)
+    return n / np.linalg.norm(n, axis=0, keepdims=True)
+
+
+def cast_shadow_lit(hf, lon, lat, alt, el_deg, az_deg, terrain_max,
+                    step_m: float = 1.0, lift_m: float = 0.1):
+    """1.0 where the surface point (lon, lat, alt) sees the sun, 0.0 where
+    the terrain occludes it: a fixed-step horizon march along the sun vector
+    until the ray altitude clears the terrain's maximum."""
+    s = sun_vector(el_deg, az_deg)
+    if s[2] <= 1e-6:
+        return np.zeros_like(alt)
+    m_lon = M_PER_DEG_LAT * np.cos(np.radians(AOI_LAT))
+    n_steps = int(np.ceil((terrain_max - float(np.min(alt))) /
+                          (step_m * s[2]))) + 1
+    lit = np.ones_like(alt, dtype=bool)
+    for k in range(1, n_steps + 1):
+        t = k * step_m
+        a = alt + lift_m + s[2] * t
+        blocked = a < hf(lon + s[0] * t / m_lon,
+                         lat + s[1] * t / M_PER_DEG_LAT)
+        lit &= ~blocked
+    return lit.astype(np.float64)
+
+
+def analytic_sun_term(hf, lon, lat, el_deg, az_deg, terrain_max):
+    """The per-point direct-sun factor the shaded fixture renders with:
+    Lambertian cosine from the height-field normal x binary cast-shadow
+    visibility. This is EXACTLY the quantity S-NeRF's sun_v head models
+    (irradiance = sun_v + (1-sun_v)*sky, /root/reference/models/snerf.py:65-67),
+    so a converged sun_v map should reproduce it — the capability tests
+    gate on their correlation."""
+    alt = hf(lon, lat)
+    s = sun_vector(el_deg, az_deg)
+    n = surface_normal(hf, lon, lat)
+    lambert = np.clip(n[0] * s[0] + n[1] * s[1] + n[2] * s[2], 0.0, 1.0)
+    return lambert * cast_shadow_lit(hf, lon, lat, alt, el_deg, az_deg,
+                                     terrain_max)
+
+
+AMBIENT_SKY = (0.14, 0.16, 0.25)  # bluish skylight under full shadow
+
 
 def scaled_height_field(terrain: str, relief: float = 1.0):
     """Height field with its deviation from the 10 m base plane scaled by
@@ -85,7 +147,12 @@ def build_synthetic_dataset(root: str, n_train: int = 3, n_test: int = 2,
                             with_keypoints: bool = False, n_kp: int = 40,
                             view_spread: float = 0.05,
                             terrain: str = "box", checker: int = 4,
-                            alt_bounds: str = "rpc", relief: float = 1.0):
+                            alt_bounds: str = "rpc", relief: float = 1.0,
+                            shading: bool = False,
+                            transient_frac: float = 0.0,
+                            n_transients: int = 2,
+                            transient_size: int = 0,
+                            rpc_noise_px: float = 0.0):
     """Write a reference-format dataset: per-image json + tif + splits.
 
     with_keypoints adds bundle-adjustment-style depth supervision data:
@@ -108,10 +175,40 @@ def build_synthetic_dataset(root: str, n_train: int = 3, n_test: int = 2,
     relief scales the terrain's deviation from the 10 m base plane (see
     scaled_height_field) — with alt_bounds="terrain" it sets the z-bin
     width and hence the anchor scene's achievable DSM MAE.
+
+    shading=True turns the flat-albedo renders into sun-lit images: each
+    image draws its OWN sun geometry (elevation 35-70 deg, azimuth 90-270),
+    and pixels get irradiance = sun_term + (1-sun_term)*AMBIENT_SKY with
+    sun_term = Lambert cosine x cast-shadow visibility (analytic_sun_term)
+    — the exact image-formation model S-NeRF's sun_v/sky heads represent
+    (/root/reference/models/snerf.py:65-67). The analytic sun_term map of
+    every image is saved as {name}_SUN.npy for capability gates. With
+    shading=False (default) the output is byte-identical to the historical
+    fixture (fixed sun 60/180, pure albedo).
+
+    transient_frac > 0 paints n_transients random bright boxes (side
+    transient_size px, default w//6) into that fraction of the train images
+    with index >= 1 — the satellite analog of the reference's NeRF-W occ
+    perturbation (/root/reference/datasets/blender.py:61-79). Painted
+    pixel masks are saved as {name}_TRANSIENT.npy; test images stay clean
+    so val PSNR measures clean-scene recovery.
+
+    rpc_noise_px > 0 mis-registers each image's WRITTEN RPC by a uniform
+    +-rpc_noise_px pixel shift of row/col_offset while rendering with the
+    TRUE camera — the geometry error bundle adjustment exists to fix
+    (/root/reference/create_satellite_dataset.py:32-78). The noise comes
+    from an independent RNG stream, so a sibling dataset built with the
+    same seed and rpc_noise_px=0 has byte-identical imagery ("BA" vs
+    "noBA" ablation pairs). Keypoints stay in the TRUE frame (observed
+    pixels + true tie points), like real BA output.
     """
     from satnerf_tpu.geo.ellipsoid import ecef_from_latlon
 
     hf = scaled_height_field(terrain, relief)
+    gl_shade = np.linspace(-0.002, 0.002, 241)
+    gsl, gsa = np.meshgrid(AOI_LON + gl_shade, AOI_LAT + gl_shade)
+    terrain_max = float(hf(gsl.ravel(), gsa.ravel()).max())
+    noise_rng = np.random.RandomState(seed + 7919)
     if alt_bounds == "terrain":
         gl = np.linspace(-0.002, 0.002, 241)
         glon, glat = np.meshgrid(AOI_LON + gl, AOI_LAT + gl)
@@ -135,6 +232,11 @@ def build_synthetic_dataset(root: str, n_train: int = 3, n_test: int = 2,
     for i in range(n_total):
         dx = rng.uniform(-view_spread, view_spread)
         dy = rng.uniform(-view_spread, view_spread)
+        if shading:
+            sun_el = float(rng.uniform(35.0, 70.0))
+            sun_az = float(rng.uniform(90.0, 270.0))
+        else:
+            sun_el, sun_az = 60.0, 180.0
         project, lon_r, lat_r = make_camera(dx, dy, w, h)
         rpc = fit_rpc_from_projection(project, lon_r, lat_r,
                                       (ALT_MIN, ALT_MAX), w, h)
@@ -168,20 +270,48 @@ def build_synthetic_dataset(root: str, n_train: int = 3, n_test: int = 2,
         hit = 0.5 * (lo + hi)
         lon, lat = rpc.localization(fc, fr, hit)
         img = albedo_field(lon, lat, checker).reshape(h, w)
-        rgb = np.stack([img, img, img], 0)
+        name = f"SYN_000_{i:03d}_RGB"
+        if shading:
+            sun_term = analytic_sun_term(hf, lon, lat, sun_el, sun_az,
+                                         terrain_max).reshape(h, w)
+            np.save(os.path.join(root, name + "_SUN.npy"),
+                    sun_term.astype(np.float32))
+            irr = [sun_term + (1.0 - sun_term) * a for a in AMBIENT_SKY]
+            rgb = np.stack([img * c for c in irr], 0)
+        else:
+            rgb = np.stack([img, img, img], 0)
+        if (transient_frac > 0 and 1 <= i < n_train
+                and rng.uniform() < transient_frac):
+            side = transient_size or max(3, w // 6)
+            tmask = np.zeros((h, w), bool)
+            for _ in range(n_transients):
+                x0 = rng.randint(0, w - side + 1)
+                y0 = rng.randint(0, h - side + 1)
+                color = rng.uniform(0.75, 1.0, 3)
+                rgb[:, y0:y0 + side, x0:x0 + side] = color[:, None, None]
+                tmask[y0:y0 + side, x0:x0 + side] = True
+            np.save(os.path.join(root, name + "_TRANSIENT.npy"), tmask)
         rgb8 = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
 
-        name = f"SYN_000_{i:03d}_RGB"
         write_geotiff(
             os.path.join(root, name + ".tif"), rgb8,
             Profile(w, h, 3, "uint8", 32617, Affine(0.5, 0, 0, 0, -0.5, 0)),
         )
+        if rpc_noise_px > 0:
+            import dataclasses
+
+            d_col, d_row = noise_rng.uniform(-rpc_noise_px, rpc_noise_px, 2)
+            rpc_out = dataclasses.replace(
+                rpc, col_offset=rpc.col_offset + float(d_col),
+                row_offset=rpc.row_offset + float(d_row))
+        else:
+            rpc_out = rpc
         meta = {
             "img": name + ".tif",
             "height": h,
             "width": w,
-            "sun_elevation": 60.0,
-            "sun_azimuth": 180.0,
+            "sun_elevation": sun_el,
+            "sun_azimuth": sun_az,
             "acquisition_date": f"2014100{i}120000",
             "geojson": {"center": [AOI_LON, AOI_LAT],
                         "coordinates": [[[lon_r[0], lat_r[0]], [lon_r[1], lat_r[0]],
@@ -189,7 +319,7 @@ def build_synthetic_dataset(root: str, n_train: int = 3, n_test: int = 2,
                                          [lon_r[0], lat_r[0]]]]},
             "min_alt": min_alt,
             "max_alt": max_alt,
-            "rpc": rpc.to_dict(),
+            "rpc": rpc_out.to_dict(),
         }
         if with_keypoints:
             kp_cols, kp_rows = rpc.projection(tie_lons, tie_lats, tie_alts)

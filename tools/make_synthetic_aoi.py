@@ -46,6 +46,22 @@ def main():
                          "(pts3d.npy + per-image keypoint jsons) so "
                          "--ds_lambda training and the depth-supervision "
                          "study run on this AOI")
+    ap.add_argument("--shading", action="store_true",
+                    help="sun-lit images: per-image sun geometry, "
+                         "Lambertian shading and cast shadows, bluish "
+                         "ambient; writes {img}_SUN.npy analytic sun maps")
+    ap.add_argument("--transient_frac", type=float, default=0.0,
+                    help="fraction of train images (idx>=1) that get "
+                         "painted transient boxes ({img}_TRANSIENT.npy "
+                         "masks); test images stay clean")
+    ap.add_argument("--transient_size", type=int, default=0,
+                    help="transient box side in px (default w//6)")
+    ap.add_argument("--rpc_noise", type=float, default=0.0, metavar="PX",
+                    help="mis-register each image's written RPC by a "
+                         "uniform +-PX pixel offset (independent RNG: same "
+                         "--seed with 0 gives a byte-identical 'BA' "
+                         "sibling)")
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     from fixtures import (AOI_LAT, AOI_LON, build_synthetic_dataset,
@@ -58,12 +74,16 @@ def main():
     data_dir = os.path.join(args.out_dir, "data")
     gt_dir = os.path.join(args.out_dir, "gt")
     build_synthetic_dataset(data_dir, n_train=args.n_train, n_test=args.n_test,
-                            w=args.size, h=args.size,
+                            w=args.size, h=args.size, seed=args.seed,
                             view_spread=args.view_spread,
                             terrain=args.terrain, checker=args.checker,
                             alt_bounds=args.alt_bounds, relief=args.relief,
                             with_keypoints=args.keypoints > 0,
-                            n_kp=args.keypoints or 40)
+                            n_kp=args.keypoints or 40,
+                            shading=args.shading,
+                            transient_frac=args.transient_frac,
+                            transient_size=args.transient_size,
+                            rpc_noise_px=args.rpc_noise)
 
     os.makedirs(gt_dir, exist_ok=True)
     lons = np.linspace(AOI_LON - 0.002, AOI_LON + 0.002, 400)
