@@ -279,7 +279,7 @@ def eval_s2p(aoi_id: str, root_dir: str, dfc_dir: str, output_dir: str = ".",
         shutil.rmtree("s2p_tmp")
     if not ply_paths:
         print("no s2p point clouds produced (is `s2p` installed?)")
-        return
+        return None
 
     xyz = np.vstack([read_ply_xyz(p) for p in ply_paths])
     gt_dir = os.path.join(dfc_dir, "Track3-Truth")
@@ -292,11 +292,12 @@ def eval_s2p(aoi_id: str, root_dir: str, dfc_dir: str, output_dir: str = ".",
     avg = raster_dsm(xyz, xoff, uly, resolution, xsize, xsize, radius=2)
     prof = Profile(xsize, xsize, 1, "float64", 32617,
                    Affine(resolution, 0, xoff, 0, -resolution, uly), float("nan"))
-    mvs_dsm_path = os.path.join(out_dir, f"{aoi_id}_mvs_dsm_{n_pairs}_pairs_avg.tif")
-    write_geotiff(mvs_dsm_path, avg[:, :, 0][None], prof)
-    mae = compute_mae_and_save_dsm_diff(mvs_dsm_path, aoi_id, gt_dir, out_dir, "")
-    print(f"Path to output S2P MVS DSM: {mvs_dsm_path}")
-    print(f"Altitude MAE (mean alt fusion): {mae}")
+    mvs_dsm_avg_path = os.path.join(out_dir, f"{aoi_id}_mvs_dsm_{n_pairs}_pairs_avg.tif")
+    write_geotiff(mvs_dsm_avg_path, avg[:, :, 0][None], prof)
+    mae_avg = compute_mae_and_save_dsm_diff(mvs_dsm_avg_path, aoi_id, gt_dir,
+                                            out_dir, "")
+    print(f"Path to output S2P MVS DSM: {mvs_dsm_avg_path}")
+    print(f"Altitude MAE (mean alt fusion): {mae_avg}")
 
     # median-altitude fusion on the GT ROI grid
     bb = [xoff, xoff + size * res_gt, yoff, uly]
@@ -304,10 +305,14 @@ def eval_s2p(aoi_id: str, root_dir: str, dfc_dir: str, output_dir: str = ".",
     prof_med = Profile(med.shape[1], med.shape[0], 1, "float64", 32617,
                        Affine(resolution, 0, xoff, 0, -resolution, uly),
                        float("nan"))
-    mvs_dsm_path = os.path.join(out_dir, f"mvs_dsm_{n_pairs}_pairs_med.tif")
-    write_geotiff(mvs_dsm_path, med[None], prof_med)
-    mae = compute_mae_and_save_dsm_diff(mvs_dsm_path, aoi_id, gt_dir, out_dir, "")
-    print(f"Altitude MAE (median alt fusion): {mae}")
+    mvs_dsm_med_path = os.path.join(out_dir, f"mvs_dsm_{n_pairs}_pairs_med.tif")
+    write_geotiff(mvs_dsm_med_path, med[None], prof_med)
+    mae_med = compute_mae_and_save_dsm_diff(mvs_dsm_med_path, aoi_id, gt_dir,
+                                            out_dir, "")
+    print(f"Altitude MAE (median alt fusion): {mae_med}")
+    return {"mae_avg": mae_avg, "mae_med": mae_med,
+            "dsm_avg": mvs_dsm_avg_path, "dsm_med": mvs_dsm_med_path,
+            "n_clouds": len(ply_paths)}
 
 
 def main():

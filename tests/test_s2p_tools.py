@@ -1,6 +1,7 @@
 """eval_s2p component tests: PLY IO, inverse UTM, cloud->grid fusion, pair
 selection. The external `s2p` binary itself stays a subprocess contract."""
 
+import glob
 import json
 import os
 import struct
@@ -188,3 +189,116 @@ class TestHeuristicPairs:
                             str(tmp_path / "JAX_068_000_RGB.json"))
         assert pairs[1] == (str(tmp_path / "JAX_068_000_RGB.json"),
                             str(tmp_path / "JAX_068_001_RGB.json"))
+
+
+class TestEvalS2pEndToEnd:
+    def test_eval_s2p_full_flow_with_stub_binary(self, tmp_path, monkeypatch):
+        """Drive eval_s2p's TOP-LEVEL orchestration end to end against a
+        stub `s2p` executable that drops a known point cloud: pair loop,
+        per-pair config writing, subprocess invocation, tile-cloud
+        collection, mean+median fusion and MAE vs the GT DSM
+        (reference eval_s2p.py:228-313). The stub writes the exact synthetic
+        surface, so both fused DSMs must register to sub-meter MAE."""
+        import subprocess
+        import sys
+
+        from satnerf_tpu.geo.geotiff import Affine, Profile, write_geotiff
+        from satnerf_tpu.geo.utm import utm_from_latlon
+        from satnerf_tpu.ops.dsm_raster import raster_dsm
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+        from fixtures import AOI_LAT, AOI_LON, smooth_height_field
+
+        aoi_id = "JAX_999"
+        res = 2.0
+
+        # --- fake DFC layout: GT DSM/txt + (unread) RGB crop dir
+        dfc = tmp_path / "dfc"
+        gt_dir = dfc / "Track3-Truth"
+        img_dir = dfc / "Track3-RGB" / aoi_id
+        gt_dir.mkdir(parents=True)
+        img_dir.mkdir(parents=True)
+        gl = np.linspace(-0.002, 0.002, 300)
+        LO, LA = np.meshgrid(AOI_LON + gl, AOI_LAT + gl)
+        E, N = utm_from_latlon(LA.ravel(), LO.ravel())
+        Z = smooth_height_field(LO.ravel(), LA.ravel())
+        xoff = np.floor(E.min() / res) * res
+        yoff = np.floor(N.min() / res) * res
+        size = int(min((E.max() - xoff) // res, (N.max() - yoff) // res))
+        uly = yoff + size * res
+        dsm = raster_dsm(np.stack([E, N, Z], -1), xoff, uly, res, size, size,
+                         radius=1)
+        write_geotiff(str(gt_dir / f"{aoi_id}_DSM.tif"),
+                      dsm[:, :, 0][None].astype(np.float32),
+                      Profile(size, size, 1, "float32", 32617,
+                              Affine(res, 0, xoff, 0, -res, uly),
+                              float("nan")))
+        np.savetxt(str(gt_dir / f"{aoi_id}_DSM.txt"),
+                   np.array([xoff, yoff, size, res]))
+
+        # --- three metadata jsons (pair-selection inputs); the stub never
+        # reads the images, so the rpc payload only has to be serializable
+        root = tmp_path / "root"
+        root.mkdir()
+        for i in range(3):
+            name = f"{aoi_id}_{i:03d}_RGB"
+            (img_dir / f"{name}.tif").write_bytes(b"not-read-by-stub")
+            with open(root / f"{name}.json", "w") as f:
+                json.dump({"img": f"{name}.tif", "width": 32, "height": 32,
+                           "rpc": {"row_offset": 0.0, "col_offset": 0.0}}, f)
+
+        # --- the stub `s2p`: reads the config path (argv[1]) like the real
+        # pipeline, writes tiles/<r>/<c>/cloud.ply with the exact surface
+        pts = np.stack([E, N, Z], -1)[:: 7]
+        pts_path = tmp_path / "surface_pts.npy"
+        np.save(pts_path, pts)
+        bindir = tmp_path / "bin"
+        bindir.mkdir()
+        stub = bindir / "s2p"
+        stub.write_text(f"""#!{sys.executable}
+import json, os, sys
+import numpy as np
+cfg = sys.argv[1]
+with open(cfg) as f:
+    json.load(f)  # must be valid JSON with the contract fields
+d = os.path.dirname(cfg)
+tiles = os.path.join(d, "tiles", "row0", "col0")
+os.makedirs(tiles, exist_ok=True)
+pts = np.load({str(pts_path)!r})
+with open(os.path.join(tiles, "cloud.ply"), "w") as f:
+    f.write("ply\\nformat ascii 1.0\\nelement vertex %d\\n" % len(pts))
+    f.write("property float x\\nproperty float y\\nproperty float z\\n")
+    f.write("end_header\\n")
+    for p in pts:
+        f.write("%.3f %.3f %.3f\\n" % (p[0], p[1], p[2]))
+open(os.path.join(d, "dsm.tif"), "w").write("stub")
+""")
+        stub.chmod(0o755)
+        monkeypatch.setenv("PATH",
+                           str(bindir) + os.pathsep + os.environ["PATH"])
+        # the stub must be what resolves as `s2p`
+        probe = subprocess.run(["s2p", "--help"], capture_output=True)
+        assert probe.returncode != 0 or b"" in probe.stdout
+
+        import random
+
+        random.seed(0)
+        out = s2p_mod.eval_s2p(aoi_id, str(root), str(dfc),
+                               output_dir=str(tmp_path), n_pairs=2,
+                               resolution=res)
+        assert out is not None, "orchestration produced no fused DSMs"
+        assert out["n_clouds"] == 2  # one cloud per selected pair
+        assert os.path.exists(out["dsm_avg"]) and os.path.exists(out["dsm_med"])
+        # exact surface points -> sub-meter registered MAE on both fusions
+        assert out["mae_avg"] < 0.5, out
+        assert out["mae_med"] < 0.5, out
+        # per-pair products: config.json + stub log per pair dir
+        pair_dirs = sorted(glob.glob(os.path.join(
+            str(tmp_path), "s2p_dsms", aoi_id, "0?_*")))
+        assert len(pair_dirs) == 2
+        for d in pair_dirs:
+            with open(os.path.join(d, "config.json")) as f:
+                cfg = json.load(f)
+            assert cfg["dsm_resolution"] == res
+            assert len(cfg["images"]) == 2
+            assert "roi_geojson" in cfg
