@@ -149,6 +149,8 @@ def build_synthetic_dataset(root: str, n_train: int = 3, n_test: int = 2,
                             terrain: str = "box", checker: int = 4,
                             alt_bounds: str = "rpc", relief: float = 1.0,
                             shading: bool = False,
+                            sun_el_range: tuple = (35.0, 70.0),
+                            sun_az_range: tuple = (90.0, 270.0),
                             transient_frac: float = 0.0,
                             n_transients: int = 2,
                             transient_size: int = 0,
@@ -233,8 +235,8 @@ def build_synthetic_dataset(root: str, n_train: int = 3, n_test: int = 2,
         dx = rng.uniform(-view_spread, view_spread)
         dy = rng.uniform(-view_spread, view_spread)
         if shading:
-            sun_el = float(rng.uniform(35.0, 70.0))
-            sun_az = float(rng.uniform(90.0, 270.0))
+            sun_el = float(rng.uniform(*sun_el_range))
+            sun_az = float(rng.uniform(*sun_az_range))
         else:
             sun_el, sun_az = 60.0, 180.0
         project, lon_r, lat_r = make_camera(dx, dy, w, h)

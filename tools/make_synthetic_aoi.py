@@ -50,12 +50,21 @@ def main():
                     help="sun-lit images: per-image sun geometry, "
                          "Lambertian shading and cast shadows, bluish "
                          "ambient; writes {img}_SUN.npy analytic sun maps")
+    ap.add_argument("--sun_el", type=float, nargs=2, default=(35.0, 70.0),
+                    metavar=("LO", "HI"),
+                    help="per-image sun elevation range (deg); lower "
+                         "elevations cast longer shadows")
+    ap.add_argument("--sun_az", type=float, nargs=2, default=(90.0, 270.0),
+                    metavar=("LO", "HI"),
+                    help="per-image sun azimuth range (deg)")
     ap.add_argument("--transient_frac", type=float, default=0.0,
                     help="fraction of train images (idx>=1) that get "
                          "painted transient boxes ({img}_TRANSIENT.npy "
                          "masks); test images stay clean")
     ap.add_argument("--transient_size", type=int, default=0,
                     help="transient box side in px (default w//6)")
+    ap.add_argument("--n_transients", type=int, default=2,
+                    help="painted boxes per perturbed train image")
     ap.add_argument("--rpc_noise", type=float, default=0.0, metavar="PX",
                     help="mis-register each image's written RPC by a "
                          "uniform +-PX pixel offset (independent RNG: same "
@@ -81,8 +90,11 @@ def main():
                             with_keypoints=args.keypoints > 0,
                             n_kp=args.keypoints or 40,
                             shading=args.shading,
+                            sun_el_range=tuple(args.sun_el),
+                            sun_az_range=tuple(args.sun_az),
                             transient_frac=args.transient_frac,
                             transient_size=args.transient_size,
+                            n_transients=args.n_transients,
                             rpc_noise_px=args.rpc_noise)
 
     os.makedirs(gt_dir, exist_ok=True)

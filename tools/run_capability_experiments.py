@@ -62,11 +62,20 @@ PRESETS = {
 
 # experiment -> (AOI builder extra flags, [(run name, config overrides)])
 def experiment_table(p):
+    # view_spread 0.25 = the geometry-anchor parallax (tests/
+    # test_geometry_anchor_cpu.py): without it the ray geometry barely
+    # constrains altitude and every mechanism drowns in floaters
     common_aoi = ["--size", str(p["size"]), "--n_train", str(p["n_train"]),
-                  "--n_test", str(p["n_test"]), "--alt_bounds", "terrain"]
+                  "--n_test", str(p["n_test"]), "--alt_bounds", "terrain",
+                  "--view_spread", "0.25", "--checker", "8"]
     return {
         "shadow": {
-            "aoi": {"shaded": common_aoi + ["--shading"]},
+            # smooth terrain (the geometry-anchor scene: continuous Lambert
+            # shading, converges to ~1 m MAE so floaters can't out-compete
+            # the honest decomposition) + low suns for long cast shadows
+            "aoi": {"shaded": common_aoi + ["--shading", "--terrain",
+                                            "smooth", "--checker", "8",
+                                            "--sun_el", "25", "50"]},
             "runs": [
                 ("nerf", "shaded", dict(model="nerf", sc_lambda=0.0)),
                 ("snerf_sc00", "shaded", dict(model="s-nerf", sc_lambda=0.0)),
@@ -75,7 +84,12 @@ def experiment_table(p):
             ],
         },
         "transient": {
-            "aoi": {"transient": common_aoi + ["--transient_frac", "0.75"]},
+            # every train view except idx 0 gets 3 painted boxes (~10% of
+            # its pixels): strong enough view-inconsistency that averaging
+            # it away (s-nerf) visibly costs clean-view quality
+            "aoi": {"transient": common_aoi + ["--transient_frac", "1.0",
+                                               "--transient_size", "12",
+                                               "--n_transients", "3"]},
             "runs": [
                 ("snerf", "transient", dict(model="s-nerf", sc_lambda=0.0)),
                 ("satnerf", "transient", dict(model="sat-nerf",
@@ -116,6 +130,11 @@ def _phase_train(args):
         ckpts_dir=os.path.join(args.workdir, "ckpts"),
         save_every_n_epochs=10 ** 6, val_every_n_epochs=10 ** 6,
         num_sanity_val_steps=0, noise_std=0.0, precision="float32",
+        # tiny AOIs mean tiny epochs: the reference's StepLR (0.9/epoch)
+        # collapses the lr by ~1e-9 over the run's ~200 epochs, freezing
+        # training after the first quarter; cosine keeps the demo runs
+        # learning to the end (capability demos, not parity runs)
+        lr_scheduler="cosine",
         **spec["overrides"])
     fit(cfg)
 
@@ -161,7 +180,13 @@ def _phase_eval(args):
 
 def _sun_agreement(data_dir, train_out, epoch):
     """Correlate each rendered composited sun_v map against the fixture's
-    analytic sun_term sidecar; IoU of the <0.3 shadow masks."""
+    analytic sun_term sidecar.
+
+    The rendered map is sum(weights * sun_v), and the weight sum is not 1
+    (and is not saved), so the comparison must be scale-free: Pearson
+    correlation, plus shadow-mask IoU where the predicted mask is
+    thresholded RELATIVE to the image's own bright level (0.5 x P90) while
+    the analytic mask uses the absolute sun_term < 0.3."""
     from satnerf_tpu.geo.geotiff import read_geotiff
 
     corrs, ious = [], []
@@ -174,7 +199,8 @@ def _sun_agreement(data_dir, train_out, epoch):
         ana = np.load(side).ravel()
         pred = np.asarray(read_geotiff(p).data, np.float64).ravel()
         corrs.append(float(np.corrcoef(pred, ana)[0, 1]))
-        sm, pm = ana < 0.3, pred < 0.3
+        sm = ana < 0.3
+        pm = pred < 0.5 * np.percentile(pred, 90)
         ious.append(float((sm & pm).sum() / max((sm | pm).sum(), 1)))
     if not corrs:
         return None
@@ -209,7 +235,7 @@ def _beta_localization(data_dir, train_out, epoch):
 
 
 def _child(args, spec, phase):
-    cmd = [sys.executable]
+    cmd = [sys.executable, "-u"]
     if args.platform == "cpu":
         cmd += [os.path.join(REPO, "tools", "cpu_mesh_run.py"), "-n", "1"]
     cmd += [os.path.abspath(__file__), args.workdir,
@@ -264,10 +290,10 @@ def main(argv=None):
         results = {}
         for run_name, aoi_key, overrides in exp["runs"]:
             name = f"{exp_name}_{run_name}"
-            overrides = dict(overrides, **{k: p[k] for k in
-                                           ("fc_units", "fc_layers",
-                                            "n_samples", "batch_size",
-                                            "max_train_steps", "lr")})
+            preset_keys = {k: p[k] for k in ("fc_units", "fc_layers",
+                                             "n_samples", "batch_size",
+                                             "max_train_steps", "lr")}
+            overrides = dict(preset_keys, **overrides)  # run overrides win
             overrides["seed"] = args.seed
             spec = {"name": name, "aoi": aoi_key, "overrides": overrides,
                     "train_maps": exp_name in ("shadow", "transient")}
