@@ -12,20 +12,23 @@ tools/cpu_mesh_run.py — the in-suite 8-device mesh is for sharding tests;
 XLA CPU collectives on a starved 1-core box are the known wedge mode, and
 geometry needs no mesh).
 
-Measured on this host (r4, idle box, ~445 s/run):
+Measured on this host (re-measured r5 after the fixture grew its shading /
+transient / rpc-noise knobs — default output stayed byte-identical and the
+seeds reproduced r4's values to the millimeter; ~445 s/run idle, ~2x under
+load):
 
-    seed 0: DSM MAE 2.96 m, val PSNR 14.6
-    seed 1: DSM MAE 2.59 m, val PSNR 14.9
-    seed 2: DSM MAE 2.65 m, val PSNR 15.0
+    seed 0: DSM MAE 2.96 m, val PSNR 14.6   (r4: 2.96)
+    seed 1: DSM MAE 2.59 m, val PSNR 14.9   (r4: 2.59)
+    seed 2: DSM MAE 2.65 m, val PSNR 15.0   (r4: 2.65)
 
 The "flat DSM at the terrain mean" floor through the same registration
 protocol is 6.45 m — i.e. a run that learns no geometry at all scores ~6.5.
-The gate (5.0 m = 1.7x the worst measured seed, comfortably below the
-floor) is deliberately loose: it asserts "the chain converges to
-terrain-scale geometry" — a sampling, compositing, ray-construction, or
-registration regression blows it up by meters — while staying insensitive
-to seed noise. The opt-in chip anchor owns tightness (1.4 m gate at the
-64k x 1200 config).
+The gate (4.0 m = 1.35x the worst measured seed, well below the floor)
+asserts "the chain converges to terrain-scale geometry" — a sampling,
+compositing, ray-construction, or registration regression blows it up by
+meters — while staying insensitive to seed noise (worst seed + 12 sigma of
+the 0.17 m cross-seed std). The opt-in chip anchor owns tightness (1.4 m
+gate at the 64k x 1200 config).
 """
 
 import ast
@@ -35,7 +38,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-MAE_GATE_M = 5.0   # worst measured seed 2.96 m; flat-DSM floor 6.45 m
+MAE_GATE_M = 4.0   # worst measured seed 2.96 m; flat-DSM floor 6.45 m
 PSNR_FLOOR = 12.5  # worst measured seed 14.6 dB
 
 
