@@ -1,5 +1,6 @@
-"""Functional capability gates (VERDICT r4 missing #1/#2/#3): the shadow,
-transient, and BA machinery must be shown to LEARN, not just compute
+"""Functional capability gates (VERDICT r4 missing #1/#2/#3, weak #6): the
+shadow, transient, and BA machinery must be shown to LEARN — and the solar
+interpolation study to render MOVING shadows — not just compute
 parity-correct gradients.
 
 Two layers, mirroring tests/test_convergence_parity.py:
@@ -44,12 +45,21 @@ REPORT = os.path.join(REPO, "CAPABILITY_r05.json")
 # beta ratio  2.91             ~1.0 (uninformative beta)     1.50
 # BA degrade  4.83 m           0 (clean == clean)            1.50
 # DS recover  1.38 m           0 (DS off)                    0.50
+#
+# Solar sweep (sun maps across 10 interpolated sun directions; degenerate
+# floor = a direction-blind sun_v, measured at the weaker shadow preset):
+# sweep corr  0.918 (sc=0.1, 12k steps)  0.997 (sc=0.05, 4k)  <= 0.97
+# sweep IoU   0.718                      0.906                <= 0.85
+# sweep std   0.069                      0.014                >= 0.030
 SUN_CORR_GATE = 0.20
 SUN_IOU_GATE = 0.055
 TRANSIENT_PSNR_GAIN_GATE = 0.30
 BETA_RATIO_GATE = 1.50
 BA_DEGRADE_GATE_M = 1.50
 BA_RECOVER_GATE_M = 0.50
+SOLAR_SWEEP_CORR_MAX = 0.97
+SOLAR_SWEEP_IOU_MAX = 0.85
+SOLAR_SWEEP_REL_STD_MIN = 0.030
 
 
 def _assert_gates(report):
@@ -72,6 +82,14 @@ def _assert_gates(report):
     assert g["ba_noise_degrades_mae"] >= BA_DEGRADE_GATE_M, g
     assert g["ba_ds_recovers_mae"] >= BA_RECOVER_GATE_M, g
 
+    # Solar sweep: study_solar_interpolation's 10-sun interpolation renders
+    # MOVING shadows, not ten copies of one map (VERDICT r4 weak #6;
+    # reference study_solar_interpolation.py:145-246)
+    if "solar_sweep_corr_extremes" in g:
+        assert g["solar_sweep_corr_extremes"] <= SOLAR_SWEEP_CORR_MAX, g
+        assert g["solar_sweep_shadow_iou_extremes"] <= SOLAR_SWEEP_IOU_MAX, g
+        assert g["solar_sweep_rel_std"] >= SOLAR_SWEEP_REL_STD_MIN, g
+
 
 def test_capability_report():
     assert os.path.exists(REPORT), (
@@ -80,6 +98,8 @@ def test_capability_report():
     with open(REPORT) as f:
         report = json.load(f)
     assert report["preset"] == "full"
+    assert "solar_sweep_corr_extremes" in report["gates"], (
+        "the committed artifact must include the solar sweep experiment")
     _assert_gates(report)
 
 
@@ -118,6 +138,7 @@ def test_capability_smoke(tmp_path):
                     reason="full capability rerun is opt-in: "
                            "SATNERF_CAPABILITY=1 (~1-2 h on a v5e chip)")
 def test_capability_full(tmp_path):
-    report = _run_tool(str(tmp_path / "cap"), ["shadow", "transient", "ba"],
+    report = _run_tool(str(tmp_path / "cap"),
+                       ["shadow", "solar", "transient", "ba"],
                        preset="full", platform="tpu", timeout=4 * 3600)
     _assert_gates(report)

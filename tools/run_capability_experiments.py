@@ -10,6 +10,13 @@ Sat-NeRF machinery exists for, and report whether each mechanism works:
                analytic sun map (correlation + shadow IoU).
                Reference machinery: /root/reference/models/snerf.py:65-67,
                SC pass /root/reference/rendering.py:90-108.
+  solar      — study_solar_interpolation.py's sun sweep on the SAME shaded
+               AOI (VERDICT r4 weak #6: the study had only ever interpolated
+               between identical suns): train the SC-anchored s-nerf, sweep
+               10 interpolated sun directions, and gate that the rendered
+               sun maps actually move (decorrelated extremes, travelling
+               shadow masks). Reference machinery:
+               /root/reference/study_solar_interpolation.py:145-246.
   transient  — an AOI where a subset of train views is corrupted by painted
                transient boxes ({img}_TRANSIENT.npy masks): s-nerf vs
                sat-nerf. Gates: the beta head recovers clean-view PSNR that
@@ -68,20 +75,45 @@ def experiment_table(p):
     common_aoi = ["--size", str(p["size"]), "--n_train", str(p["n_train"]),
                   "--n_test", str(p["n_test"]), "--alt_bounds", "terrain",
                   "--view_spread", "0.25", "--checker", "8"]
+    # smooth terrain (the geometry-anchor scene: continuous Lambert
+    # shading, converges to ~1 m MAE so floaters can't out-compete
+    # the honest decomposition) + low suns for long cast shadows
+    shaded_aoi = common_aoi + ["--shading", "--terrain", "smooth",
+                               "--checker", "8", "--sun_el", "25", "50"]
     return {
         "shadow": {
-            # smooth terrain (the geometry-anchor scene: continuous Lambert
-            # shading, converges to ~1 m MAE so floaters can't out-compete
-            # the honest decomposition) + low suns for long cast shadows
-            "aoi": {"shaded": common_aoi + ["--shading", "--terrain",
-                                            "smooth", "--checker", "8",
-                                            "--sun_el", "25", "50"]},
+            "aoi": {"shaded": shaded_aoi},
             "runs": [
                 ("nerf", "shaded", dict(model="nerf", sc_lambda=0.0)),
                 ("snerf_sc00", "shaded", dict(model="s-nerf", sc_lambda=0.0)),
                 ("snerf_sc05", "shaded", dict(model="s-nerf",
                                               sc_lambda=0.05)),
             ],
+        },
+        "solar": {
+            # study_solar_interpolation.py driven on a scene whose suns
+            # actually differ (VERDICT r4 weak #6: the study had only ever
+            # interpolated between identical suns): train the SC-anchored
+            # s-nerf, then sweep 10 interpolated sun directions and measure
+            # that the rendered sun maps MOVE (decorrelated extremes,
+            # travelling shadow masks). Reference:
+            # /root/reference/study_solar_interpolation.py:145-246.
+            # its own AOI: suns at 15-40 deg for long, stark shadows (the
+            # shadow A/B's 25-50 deg keeps its committed numbers untouched),
+            # and a 3x step budget + sc_lambda 0.1 (the reference's stronger
+            # published SC weight, run_all.sh) — measured at the shadow
+            # preset (sc 0.05 / 4k steps) the sweep is near-degenerate
+            # (corr_extremes 0.997, rel_std 1.4%): sun_v learns the mean
+            # shadow map but barely its direction dependence
+            "aoi": {"shaded_low": common_aoi + [
+                "--shading", "--terrain", "smooth", "--checker", "8",
+                "--sun_el", "15", "40"]},
+            "runs": [
+                ("snerf_sc10", "shaded_low", dict(model="s-nerf",
+                                                  sc_lambda=0.1,
+                                                  max_train_steps=12000)),
+            ],
+            "sweep": ["snerf_sc10"],
         },
         "transient": {
             # every train view except idx 0 gets 3 painted boxes (~10% of
@@ -231,6 +263,65 @@ def _beta_localization(data_dir, train_out, epoch):
             "ratio": float(np.mean(inside) / max(np.mean(outside), 1e-9))}
 
 
+def _phase_sweep(args):
+    """Drive study_solar_interpolation.sun_interp on the trained checkpoint,
+    then quantify that the sweep is non-degenerate: on a shadow-free scene
+    (r4 state) every interpolated sun renders the same map; on the shaded
+    AOI the extremes must decorrelate and the shadow mask must travel."""
+    from study_solar_interpolation import sun_interp
+
+    spec = json.loads(args._spec)
+    name = spec["name"]
+    epoch = _final_epoch(args.workdir, name)
+    out_dir = os.path.join(args.workdir, "solar")
+    sun_interp(name, os.path.join(args.workdir, "logs"), out_dir, epoch,
+               n_interp=10)
+    stats = _sweep_stats(os.path.join(out_dir, name, "sun"))
+
+    mpath = os.path.join(args.workdir, "metrics", f"{name}.json")
+    with open(mpath) as f:
+        result = json.load(f)
+    result["sweep"] = stats
+    with open(mpath, "w") as f:
+        json.dump(result, f, indent=2)
+    print(f"[{name}] sweep {json.dumps(stats)}")
+
+
+def _sweep_stats(sun_dir):
+    """Across the sweep's rendered sun maps (sorted by solar incidence
+    angle): Pearson correlation + shadow-mask IoU between the two extreme
+    suns, and the mean per-pixel std across all angles relative to the mean
+    level. Shadow masks use the same relative threshold as _sun_agreement
+    (pred < 0.5 x P90) since composited maps are not weight-normalized."""
+    from satnerf_tpu.geo.geotiff import read_geotiff
+
+    paths = []
+    for p in glob.glob(os.path.join(sun_dir, "*deg.tif")):
+        m = re.search(r"solar_incidence_angle_([0-9.]+)deg", p)
+        if m:
+            paths.append((float(m.group(1)), p))
+    paths.sort()
+    maps = [np.asarray(read_geotiff(p).data, np.float64).ravel()
+            for _, p in paths]
+    angles = [a for a, _ in paths]
+    stack = np.stack(maps)
+    lo, hi = stack[0], stack[-1]
+    corr = float(np.corrcoef(lo, hi)[0, 1])
+    masks = [m < 0.5 * np.percentile(m, 90) for m in (lo, hi)]
+    iou = float((masks[0] & masks[1]).sum()
+                / max((masks[0] | masks[1]).sum(), 1))
+    shadow_frac = [float((m < 0.5 * np.percentile(m, 90)).mean())
+                   for m in maps]
+    return {
+        "n_interp": len(maps),
+        "angles_deg": angles,
+        "corr_extremes": corr,
+        "shadow_iou_extremes": iou,
+        "rel_std": float(stack.std(axis=0).mean() / max(stack.mean(), 1e-9)),
+        "shadow_frac_per_angle": shadow_frac,
+    }
+
+
 # ----------------------------------------------------------------- parent
 
 
@@ -258,11 +349,12 @@ def main(argv=None):
                     help="cpu = in-process-forced single virtual CPU device "
                          "(tools/cpu_mesh_run.py); tpu = session platform")
     ap.add_argument("--experiments", nargs="+",
-                    default=["shadow", "transient", "ba"])
+                    default=["shadow", "solar", "transient", "ba"])
     ap.add_argument("--out", default=None,
                     help="also write the report here (CAPABILITY_r05.json)")
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--_phase", default=None, choices=("train", "eval"),
+    ap.add_argument("--_phase", default=None,
+                    choices=("train", "eval", "sweep"),
                     help=argparse.SUPPRESS)
     ap.add_argument("--_spec", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args(argv)
@@ -271,6 +363,8 @@ def main(argv=None):
         return _phase_train(args)
     if args._phase == "eval":
         return _phase_eval(args)
+    if args._phase == "sweep":
+        return _phase_sweep(args)
 
     p = PRESETS[args.preset]
     table = experiment_table(p)
@@ -303,6 +397,10 @@ def main(argv=None):
                 if not glob.glob(os.path.join(ckpt_dir, "epoch=*.ckpt")):
                     _child(args, spec, "train")
                 _child(args, spec, "eval")
+            if run_name in exp.get("sweep", ()):
+                with open(mpath) as f:
+                    if "sweep" not in json.load(f):
+                        _child(args, spec, "sweep")
             with open(mpath) as f:
                 results[run_name] = json.load(f)
         report["experiments"][exp_name] = results
@@ -317,6 +415,12 @@ def main(argv=None):
             "sun", {}).get("corr_mean")
         gates["shadow_sun_iou_sc05"] = s["snerf_sc05"].get(
             "sun", {}).get("shadow_iou_mean")
+    if "solar" in ex:
+        sw = ex["solar"]["snerf_sc10"].get("sweep", {})
+        gates["solar_sweep_corr_extremes"] = sw.get("corr_extremes")
+        gates["solar_sweep_shadow_iou_extremes"] = sw.get(
+            "shadow_iou_extremes")
+        gates["solar_sweep_rel_std"] = sw.get("rel_std")
     if "transient" in ex:
         t = ex["transient"]
         gates["transient_satnerf_psnr_gain"] = (
